@@ -1,0 +1,180 @@
+"""Typed configuration for the TPU-native STOCS pipeline.
+
+The reference hardcodes every parameter as a global compiled into the binary
+(reference: src/stocs_match_one_object.cpp:4-24, src/model_preprocess.cpp:3-12)
+and documents per-dataset overrides only in its README (README.md:47-69).
+Here every constant — including the algorithm-internal ones buried in function
+bodies (reference: src/stocs.cpp:368-370, src/rgbd.cpp:234-242,254) — is a
+named, documented field with per-dataset presets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole intrinsics, ordered as the reference's vector {fx, cx, fy, cy}
+    (reference: src/stocs_match_one_object.cpp:20)."""
+
+    fx: float
+    cx: float
+    fy: float
+    cy: float
+
+    def as_tuple(self) -> Tuple[float, float, float, float]:
+        return (self.fx, self.cx, self.fy, self.cy)
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Offline model preprocessing (reference: src/model_preprocess.cpp:3-12)."""
+
+    # Voxel leaf size for model downsampling, in model-file units.
+    voxel_size: float = 0.01
+    # Radius for PCA normal estimation on the raw model cloud, model-file units.
+    normal_radius: float = 0.005
+    # Scale applied to positions when loading the model (converts file units to
+    # meters; reference calls this read_depth_scale, stocs.cpp:59).
+    model_scale: float = 1.0
+    # PPF discretization: translation in mm, rotation in degrees
+    # (reference: src/model_preprocess.cpp:11-12).
+    ppf_tr_discretization: int = 5
+    ppf_rot_discretization: int = 5
+    # Cap on neighbors used for PCA normal estimation (device-side fixed shape).
+    normal_max_neighbors: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Online matching parameters (reference: src/stocs_match_one_object.cpp:4-24
+    plus constants buried in src/stocs.cpp / src/rgbd.cpp)."""
+
+    camera: CameraIntrinsics = CameraIntrinsics(1066.778, 312.986, 1067.487, 241.310)
+    image_width: int = 640
+    image_height: int = 480
+    # Multiplier converting the stored uint16 depth to meters.
+    depth_scale: float = 1.0 / 10000.0
+
+    # Scene voxel leaf size in meters (reference: stocs_match_one_object.cpp:7).
+    voxel_size: float = 0.005
+    # Congruent-set matching + LCP radius (reference: stocs_match_one_object.cpp:8).
+    distance_threshold: float = 0.005
+    ppf_tr_discretization: int = 5
+    ppf_rot_discretization: int = 5
+    # Declared in the reference but never used (stocs_match_one_object.cpp:11).
+    edge_threshold: float = 0.0
+    # Cut-off class probability when building the scene cloud
+    # (reference: stocs_match_one_object.cpp:12, rgbd.cpp:257).
+    class_threshold: float = 0.10
+    # Per-base decay of class probability inside the previous segment
+    # (instance path only; reference: stocs_match_one_object.cpp:13).
+    sample_dispersion: float = 0.9
+
+    # Hypothesis budget (reference: stocs_match_one_object.cpp:16-17).
+    number_of_bases: int = 100
+    maximum_congruent_sets: int = 200
+
+    # ---- constants the reference buries in function bodies ----
+    # Coplanarity tolerance for the 4th base point (stocs.cpp:368).
+    plane_threshold: float = 0.015
+    # Minimum pairwise distance for the 4th base point (stocs.cpp:369).
+    min_distance_base: float = 0.01
+    # Minimum internal angle at point 1 for the 3rd base point, degrees
+    # (stocs.cpp:370).
+    internal_angle_threshold: float = 30.0
+    # Normal-agreement gate in LCP scoring, degrees (stocs.cpp:1032).
+    lcp_normal_angle_threshold: float = 30.0
+    # Scene z-clip in meters (rgbd.cpp:242).
+    max_scene_depth: float = 2.0
+    # Radius-outlier-removal: radius = 2*voxel + this bias, and the minimum
+    # neighbor count (rgbd.cpp:234-235).
+    outlier_radius_bias: float = 0.005
+    outlier_min_neighbors: int = 10
+    # Stored probability scale of the uint16 class-probability map (rgbd.cpp:254).
+    probability_scale: float = 1.0 / 10000.0
+
+    # ---- reference quirks, kept switchable and documented ----
+    # The reference compares a *squared* distance against the *unsquared*
+    # distance_threshold when matching congruent sets (stocs.cpp:854), making
+    # the effective radius sqrt(distance_threshold). True reproduces that.
+    congruent_sqdist_quirk: bool = True
+
+    # ---- fixed capacities for the batched TPU pipeline (not in reference;
+    #      the reference uses unbounded std::vector/std::map) ----
+    # Max scene points after filtering (padded; overflow logged + truncated).
+    max_scene_points: int = 16384
+    # Max model points after preprocessing.
+    max_model_points: int = 4096
+    # Max pairs fetched from one PPF bin during congruent extraction.
+    max_pairs_per_bin: int = 4096
+    # Max congruent sets retained per base before the maximum_congruent_sets
+    # subsample (reference keeps all, stocs.cpp:860-866).
+    max_congruent_per_base: int = 1024
+    # Upper bound on flood-fill propagation sweeps (instance path).
+    flood_fill_max_iters: int = 512
+    # Open-addressing probe bound for the device PPF table.
+    ppf_max_probes: int = 32
+
+    # Angular gate half-width (cosine units) applied between pair directions in
+    # congruent extraction. The reference's IndexedNormalSet cone rasterization
+    # (normalset.hpp:166-214) admits directions whose angle to the base angle
+    # alpha is within roughly one angular cell (grid of 7 cells/dim); we apply
+    # an explicit |dot - alpha| <= tol gate instead. <0 disables the gate
+    # (pure distance check — a superset of the reference's matches).
+    congruent_cos_tolerance: float = -1.0
+
+    # PRNG seed for the whole run. The reference re-seeds from the wall clock
+    # on every draw (stocs.cpp:135) and is therefore non-deterministic; we are
+    # deterministic given this seed.
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Preset:
+    name: str
+    preprocess: PreprocessConfig
+    match: MatchConfig
+
+
+# Presets transcribed from the reference README (README.md:40-69) and defaults
+# (src/stocs_match_one_object.cpp:4-24, src/model_preprocess.cpp:3-12).
+PRESETS = {
+    "ycb": Preset(
+        name="ycb",
+        preprocess=PreprocessConfig(),
+        match=MatchConfig(),
+    ),
+    "packed": Preset(
+        name="packed",
+        preprocess=PreprocessConfig(voxel_size=0.005),
+        match=MatchConfig(
+            camera=CameraIntrinsics(
+                615.957763671875, 308.1098937988281,
+                615.9578247070312, 246.33352661132812,
+            ),
+            depth_scale=1.0 / 8000.0,
+        ),
+    ),
+    "linemod": Preset(
+        name="linemod",
+        preprocess=PreprocessConfig(
+            voxel_size=10.0, normal_radius=5.0, model_scale=1.0 / 1000.0
+        ),
+        match=MatchConfig(
+            camera=CameraIntrinsics(572.4114, 325.2611, 573.57043, 242.04899),
+            depth_scale=1.0 / 1000.0,
+        ),
+    ),
+}
+
+
+def get_preset(name: str) -> Preset:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

@@ -1,0 +1,432 @@
+"""Dense PPF hash table: the load-bearing data structure of the pipeline.
+
+The reference stores the model's point-pair features in a
+std::map<vector<int>4, vector<pair<int,int>>> with a 2x4x4x4 = 128-bin
+insertion fan-out for tolerance (reference: include/rgbd.hpp:23,
+src/rgbd.cpp:123-154), serialized with Boost (src/rgbd.cpp:156-177). Pointer
+maps don't exist on a TPU, so the same semantics are re-laid-out as dense
+HBM arrays:
+
+  * pairs are stored ONCE under their exact feature bin, as a CSR layout
+    (sorted flat [P, 2] index array + per-bin offset/count), reached through
+    an open-addressing int32-key hash table;
+  * the 128-way insertion fan-out is inverted into a 128-way *query* fan-out
+    (query bin q matches source bin f iff q in fanout(f) iff f in q - fanout),
+    which shrinks storage by ~128x and is only paid on the ~2 congruent-set
+    lookups per base;
+  * the hot [B, N] "does PPF(b, i) exist?" checks of base sampling
+    (reference: src/stocs.cpp:395-407,424-442,456-497) hit a second
+    keys-only open-addressing table holding the fanned-out key set, so an
+    existence check is a single bounded linear-probe: a few vectorized
+    gathers.
+
+Built offline on the host (numpy), persisted as npz (replacing the Boost
+binary archive), probed on device with bounded `lax.fori_loop` linear probing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.ppf import (
+    MIN_DISTANCE_BIN_MM,
+    _ANGLE_RADIX,
+    fanout_deltas,
+)
+
+FORMAT_VERSION = 1
+
+
+def _mix32_np(key: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer — full-avalanche 32-bit mixer. PPF keys are highly
+    correlated (neighboring bins differ in one digit), so a plain
+    multiplicative hash clusters badly; this keeps linear-probe runs short.
+    Must stay bit-identical with _mix32_jnp."""
+    h = key.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h *= np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def _mix32_jnp(key: jax.Array) -> jax.Array:
+    h = key.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# key packing (numpy-side mirrors of ops.ppf.pack_key, kept separate because
+# the build path needs the ungated "exact bin" variant as well)
+# ---------------------------------------------------------------------------
+
+def pack_exact_np(bins: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
+    """Pack exact feature bins [..., 4] -> int32 keys; -1 if out of range."""
+    q = np.empty(bins.shape, dtype=np.int64)
+    q[..., 0] = bins[..., 0] // tr_disc
+    q[..., 1:] = bins[..., 1:] // rot_disc
+    key = (
+        (q[..., 0] * _ANGLE_RADIX + q[..., 1]) * _ANGLE_RADIX + q[..., 2]
+    ) * _ANGLE_RADIX + q[..., 3]
+    bad = (
+        (bins < 0).any(axis=-1)
+        | (q[..., 1:] >= _ANGLE_RADIX).any(axis=-1)
+        | (key > np.iinfo(np.int32).max)
+    )
+    return np.where(bad, -1, key).astype(np.int32)
+
+
+def pack_query_np(bins: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
+    """Pack with the reference's insert-side rejection (distance bin <= 5mm or
+    negative angles never enter the map, src/rgbd.cpp:135-136), so gated
+    queries simply miss."""
+    key = pack_exact_np(bins, tr_disc, rot_disc)
+    bad = (bins[..., 0] <= MIN_DISTANCE_BIN_MM) | (bins < 0).any(axis=-1)
+    return np.where(bad, -1, key).astype(np.int32)
+
+
+def unpack_key_np(keys: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
+    k = keys.astype(np.int64)
+    q4 = k % _ANGLE_RADIX
+    k //= _ANGLE_RADIX
+    q3 = k % _ANGLE_RADIX
+    k //= _ANGLE_RADIX
+    q2 = k % _ANGLE_RADIX
+    q1 = k // _ANGLE_RADIX
+    return np.stack(
+        [q1 * tr_disc, q2 * rot_disc, q3 * rot_disc, q4 * rot_disc], axis=-1
+    ).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# host-side open-addressing construction
+# ---------------------------------------------------------------------------
+
+def _build_open_table(keys: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Insert sorted unique int32 keys into a power-of-two linear-probe table.
+
+    Returns (table of indices into `keys`, -1 = empty; max_probes bound valid
+    for both hits and misses)."""
+    u = keys.shape[0]
+    # load factor <= 0.25: linear-probe worst-case run length (which bounds
+    # the per-lookup fori_loop trip count on device) stays small
+    size = 1 << int(np.ceil(np.log2(max(4 * u, 16))))
+    mask = np.uint32(size - 1)
+    table = np.full(size, -1, dtype=np.int64)
+    slot = (_mix32_np(keys) & mask).astype(np.int64)
+    remaining = np.arange(u, dtype=np.int64)
+    rounds = 0
+    while remaining.size:
+        s = slot[remaining]
+        open_mask = table[s] == -1
+        cand = remaining[open_mask]
+        cand_slots = s[open_mask]
+        uniq_slots, first = np.unique(cand_slots, return_index=True)
+        table[uniq_slots] = cand[first]
+        placed = np.zeros(u, dtype=bool)
+        placed[cand[first]] = True
+        remaining = remaining[~placed[remaining]]
+        slot[remaining] = (slot[remaining] + 1) & int(mask)
+        rounds += 1
+        if rounds > size:
+            raise RuntimeError("open addressing failed to converge")
+
+    # A missing key scans until the first empty slot, so the miss bound is the
+    # longest circular run of occupied slots + 1.
+    occ = table != -1
+    if occ.all():
+        raise RuntimeError("hash table is full")
+    # rotate so position 0 is empty, then measure runs
+    first_empty = int(np.argmin(occ))
+    occ_rot = np.roll(occ, -first_empty)
+    # run lengths of consecutive True
+    padded = np.concatenate([[False], occ_rot, [False]])
+    edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+    longest_run = int((edges[1::2] - edges[0::2]).max()) if edges.size else 0
+    max_probes = max(rounds, longest_run + 1)
+    return table, max_probes
+
+
+# ---------------------------------------------------------------------------
+# the table itself
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PPFTable:
+    """Device-resident PPF map. See module docstring for the layout."""
+
+    # keys-only table of the fanned-out key set (existence checks)
+    exist_keys: jax.Array   # [Te] int32, -1 = empty
+    # exact-bin CSR (congruent-set pair lookups)
+    bin_keys: jax.Array     # [Tb] int32, -1 = empty
+    bin_offset: jax.Array   # [Tb] int32
+    bin_count: jax.Array    # [Tb] int32
+    pairs: jax.Array        # [P, 2] int32, sorted by exact bin
+
+    tr_disc: int = dataclasses.field(metadata=dict(static=True))
+    rot_disc: int = dataclasses.field(metadata=dict(static=True))
+    exist_max_probes: int = dataclasses.field(metadata=dict(static=True))
+    bin_max_probes: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def num_pairs(self) -> int:
+        return self.pairs.shape[0]
+
+
+def _features_chunked(
+    pos: np.ndarray, normal: np.ndarray, tr_disc: int, rot_disc: int,
+    chunk: int = 256,
+):
+    """Exact PPF bins for all ordered pairs i != j, chunked over i.
+
+    Yields (i0, bins [c, M, 4] int32, dist [c, M] f32)."""
+    m = pos.shape[0]
+    for i0 in range(0, m, chunk):
+        p1 = pos[i0 : i0 + chunk, None, :]
+        n1 = normal[i0 : i0 + chunk, None, :]
+        p2 = pos[None, :, :]
+        n2 = normal[None, :, :]
+        u = p1 - p2
+        d = np.linalg.norm(u, axis=-1)
+
+        def angle(a, b):
+            cr = np.cross(np.broadcast_to(a, np.broadcast_shapes(a.shape, b.shape)),
+                          np.broadcast_to(b, np.broadcast_shapes(a.shape, b.shape)))
+            s = np.linalg.norm(cr, axis=-1)
+            c = np.sum(a * b, axis=-1)
+            return np.degrees(np.arctan2(s, c))
+
+        f = np.empty(d.shape + (4,), dtype=np.int32)
+        f[..., 0] = (d * 1000.0).astype(np.int32)
+        f[..., 1] = angle(n1, u).astype(np.int32)
+        f[..., 2] = angle(n2, u).astype(np.int32)
+        f[..., 3] = angle(n1, n2).astype(np.int32)
+
+        def snap(v, disc):
+            lower = v - v % disc
+            upper = lower + disc
+            return np.where(v - lower < upper - v, lower, upper)
+
+        bins = np.empty_like(f)
+        bins[..., 0] = snap(f[..., 0], tr_disc)
+        bins[..., 1:] = snap(f[..., 1:], rot_disc)
+        yield i0, bins, d
+
+
+def build_ppf_table(
+    pos: np.ndarray,
+    normal: np.ndarray,
+    tr_disc: int,
+    rot_disc: int,
+) -> Tuple["PPFTable", float]:
+    """Offline O(M^2) build over all ordered pairs (reference:
+    src/stocs.cpp:63-78). Returns (table, max pairwise distance)."""
+    m = pos.shape[0]
+    pos = np.asarray(pos, dtype=np.float32)
+    normal = np.asarray(normal, dtype=np.float32)
+
+    all_keys = np.empty((m, m), dtype=np.int32)
+    max_distance = 0.0
+    for i0, bins, d in _features_chunked(pos, normal, tr_disc, rot_disc):
+        all_keys[i0 : i0 + bins.shape[0]] = pack_exact_np(bins, tr_disc, rot_disc)
+        if d.size:
+            max_distance = max(max_distance, float(d.max()))
+
+    ii, jj = np.meshgrid(
+        np.arange(m, dtype=np.int32), np.arange(m, dtype=np.int32), indexing="ij"
+    )
+    flat_keys = all_keys.reshape(-1)
+    flat_pairs = np.stack([ii.reshape(-1), jj.reshape(-1)], axis=1)
+    keep = (ii.reshape(-1) != jj.reshape(-1)) & (flat_keys >= 0)
+    flat_keys = flat_keys[keep]
+    flat_pairs = flat_pairs[keep]
+
+    order = np.argsort(flat_keys, kind="stable")
+    flat_keys = flat_keys[order]
+    flat_pairs = flat_pairs[order]
+
+    uniq_keys, offsets, counts = np.unique(
+        flat_keys, return_index=True, return_counts=True
+    )
+
+    bin_table_idx, bin_probes = _build_open_table(uniq_keys)
+    tb = bin_table_idx.shape[0]
+    bin_keys = np.full(tb, -1, dtype=np.int32)
+    bin_offset = np.zeros(tb, dtype=np.int32)
+    bin_count = np.zeros(tb, dtype=np.int32)
+    occ = bin_table_idx >= 0
+    bin_keys[occ] = uniq_keys[bin_table_idx[occ]]
+    bin_offset[occ] = offsets[bin_table_idx[occ]].astype(np.int32)
+    bin_count[occ] = counts[bin_table_idx[occ]].astype(np.int32)
+
+    # existence set: fan each unique exact bin out by the 128 insertion
+    # deltas, apply the insert-side rejection, dedupe
+    uniq_bins = unpack_key_np(uniq_keys, tr_disc, rot_disc)
+    deltas = fanout_deltas(tr_disc, rot_disc)  # [128, 4] in bin-index units
+    scale = np.array([tr_disc, rot_disc, rot_disc, rot_disc], dtype=np.int32)
+    fanned = uniq_bins[:, None, :] + deltas[None, :, :] * scale  # [U, 128, 4]
+    fan_keys = pack_query_np(fanned, tr_disc, rot_disc).reshape(-1)
+    fan_keys = np.unique(fan_keys[fan_keys >= 0])
+
+    exist_table_idx, exist_probes = _build_open_table(fan_keys)
+    te = exist_table_idx.shape[0]
+    exist_keys = np.full(te, -1, dtype=np.int32)
+    eocc = exist_table_idx >= 0
+    exist_keys[eocc] = fan_keys[exist_table_idx[eocc]]
+
+    table = PPFTable(
+        exist_keys=jnp.asarray(exist_keys),
+        bin_keys=jnp.asarray(bin_keys),
+        bin_offset=jnp.asarray(bin_offset),
+        bin_count=jnp.asarray(bin_count),
+        pairs=jnp.asarray(flat_pairs.astype(np.int32)),
+        tr_disc=int(tr_disc),
+        rot_disc=int(rot_disc),
+        exist_max_probes=int(exist_probes),
+        bin_max_probes=int(bin_probes),
+    )
+    return table, max_distance
+
+
+# ---------------------------------------------------------------------------
+# persistence (npz replaces the reference's Boost binary archive,
+# src/rgbd.cpp:156-177)
+# ---------------------------------------------------------------------------
+
+def save_ppf_table(path: str, table: PPFTable, extra_meta: dict | None = None):
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "tr_disc": table.tr_disc,
+        "rot_disc": table.rot_disc,
+        "exist_max_probes": table.exist_max_probes,
+        "bin_max_probes": table.bin_max_probes,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    np.savez_compressed(
+        path,
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        exist_keys=np.asarray(table.exist_keys),
+        bin_keys=np.asarray(table.bin_keys),
+        bin_offset=np.asarray(table.bin_offset),
+        bin_count=np.asarray(table.bin_count),
+        pairs=np.asarray(table.pairs),
+    )
+
+
+def load_ppf_table(path: str) -> Tuple[PPFTable, dict]:
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["meta"]).decode())
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported ppf table version {meta.get('format_version')}"
+            )
+        table = PPFTable(
+            exist_keys=jnp.asarray(z["exist_keys"]),
+            bin_keys=jnp.asarray(z["bin_keys"]),
+            bin_offset=jnp.asarray(z["bin_offset"]),
+            bin_count=jnp.asarray(z["bin_count"]),
+            pairs=jnp.asarray(z["pairs"]),
+            tr_disc=int(meta["tr_disc"]),
+            rot_disc=int(meta["rot_disc"]),
+            exist_max_probes=int(meta["exist_max_probes"]),
+            bin_max_probes=int(meta["bin_max_probes"]),
+        )
+    return table, meta
+
+
+# ---------------------------------------------------------------------------
+# device-side probing
+# ---------------------------------------------------------------------------
+
+def probe_slots(table_keys: jax.Array, keys: jax.Array, max_probes: int):
+    """Vectorized bounded linear probing. keys int32 [...]; returns the slot
+    index per key, or -1 on miss (keys of -1 always miss)."""
+    size = table_keys.shape[0]
+    mask = jnp.uint32(size - 1)
+    h0 = _mix32_jnp(keys) & mask
+    init_slot = jnp.full(keys.shape, -1, dtype=jnp.int32)
+    init_done = keys < 0
+
+    def body(i, state):
+        slot, done = state
+        h = ((h0 + jnp.uint32(i)) & mask).astype(jnp.int32)
+        k = table_keys[h]
+        found = (k == keys) & ~done
+        slot = jnp.where(found, h, slot)
+        done = done | found | (k == -1)
+        return slot, done
+
+    slot, _ = jax.lax.fori_loop(0, max_probes, body, (init_slot, init_done))
+    return slot
+
+
+def ppf_exists(table: PPFTable, keys: jax.Array) -> jax.Array:
+    """[B, N]-shaped existence check: the hot lookup of base sampling
+    (reference does one std::map::find per scene point per round,
+    src/stocs.cpp:403-405)."""
+    return probe_slots(table.exist_keys, keys, table.exist_max_probes) >= 0
+
+
+def lookup_pair_range(table: PPFTable, query_bins: jax.Array):
+    """Offsets/counts of all exact bins matching one query bin [4] via the
+    128-way inverse fan-out. Returns (offset [128], count [128]) with count=0
+    for misses. The concatenation of those CSR ranges reproduces the
+    reference's P_pairs/Q_pairs lists (src/stocs.cpp:780-786) exactly
+    (each pair is stored once, ranges are disjoint)."""
+    deltas = jnp.asarray(fanout_deltas(table.tr_disc, table.rot_disc))
+    scale = jnp.asarray(
+        [table.tr_disc, table.rot_disc, table.rot_disc, table.rot_disc],
+        dtype=jnp.int32,
+    )
+    src_bins = query_bins[None, :] - deltas * scale  # [128, 4]
+
+    q1 = src_bins[:, 0] // table.tr_disc
+    qr = src_bins[:, 1:] // table.rot_disc
+    key = ((q1 * _ANGLE_RADIX + qr[:, 0]) * _ANGLE_RADIX + qr[:, 1]) * _ANGLE_RADIX + qr[:, 2]
+    src_ok = (src_bins >= 0).all(axis=1) & (qr < _ANGLE_RADIX).all(axis=1)
+
+    # query-side gate: bins the reference never inserted (q1 <= 5mm or any
+    # negative component) have no entries
+    gate = (query_bins[0] > MIN_DISTANCE_BIN_MM) & (query_bins >= 0).all()
+    keys = jnp.where(src_ok & gate, key, -1).astype(jnp.int32)
+
+    slots = probe_slots(table.bin_keys, keys, table.bin_max_probes)
+    hit = slots >= 0
+    offset = jnp.where(hit, table.bin_offset[jnp.maximum(slots, 0)], 0)
+    count = jnp.where(hit, table.bin_count[jnp.maximum(slots, 0)], 0)
+    return offset, count
+
+
+def gather_pairs(table: PPFTable, offset: jax.Array, count: jax.Array, cap: int):
+    """Flatten the <=128 CSR ranges into padded [cap, 2] pair indices +
+    validity mask. Overflow beyond `cap` is truncated (the reference would
+    keep all pairs; truncation is logged upstream)."""
+    total_before = jnp.cumsum(count) - count  # start position of each range
+    total = jnp.sum(count)
+
+    # For each output slot s in [0, cap): find which range it falls into.
+    s = jnp.arange(cap, dtype=jnp.int32)
+    # range r covers [total_before[r], total_before[r] + count[r])
+    r_idx = jnp.searchsorted(total_before + count, s, side="right").astype(jnp.int32)
+    r_idx = jnp.minimum(r_idx, count.shape[0] - 1)
+    within = s - total_before[r_idx]
+    valid = s < total
+    src = offset[r_idx] + within
+    src = jnp.clip(src, 0, table.pairs.shape[0] - 1)
+    out = table.pairs[src]
+    return out, valid, total

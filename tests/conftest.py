@@ -1,0 +1,28 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding is exercised without TPU hardware."""
+
+import os
+
+# Hard override: the ambient environment may point JAX at a TPU tunnel
+# (JAX_PLATFORMS=axon); unit tests always run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
