@@ -1,0 +1,193 @@
+"""Command-line interface with the reference's two entry points.
+
+    python -m model_matching_tpu.cli model-preprocess <object> [options]
+    python -m model_matching_tpu.cli stocs-single <scene_path> <object> [options]
+
+Drop-in parity with the reference executables (reference:
+src/model_preprocess.cpp:14-39, src/stocs_match_one_object.cpp:187-215),
+minus the recompile-to-configure model: the repo path, dataset preset and
+every constant are flags. Artifact names and formats match:
+models/<object>/model_search.ply (+ ppf_table.npz replacing the Boost
+`ppf_map`), <scene>/best_pose_candidate_<object>.txt (12 floats, row-major
+3x4, one line), and <scene>/dbg/{sampled_scene.ply,best_pose.ply,scene.ply}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--preset", default="ycb", help="ycb | linemod | packed")
+    p.add_argument("--repo-path", default="/root/reference",
+                   help="root containing models/<object>/")
+    p.add_argument("--output-root", default=None,
+                   help="writable root for artifacts (defaults to repo path; "
+                        "use when the repo is read-only)")
+
+
+def _model_dirs(args, object_name):
+    src_root = os.path.join(args.repo_path, "models", object_name)
+    out_root = os.path.join(
+        args.output_root or args.repo_path, "models", object_name
+    )
+    return src_root, out_root
+
+
+def cmd_model_preprocess(argv):
+    from .config import get_preset
+    from .preprocess import preprocess_model
+
+    p = argparse.ArgumentParser(prog="model-preprocess")
+    p.add_argument("object")
+    _add_common(p)
+    p.add_argument("--voxel-size", type=float, default=None)
+    p.add_argument("--normal-radius", type=float, default=None)
+    p.add_argument("--model-scale", type=float, default=None)
+    args = p.parse_args(argv)
+
+    pre = get_preset(args.preset).preprocess
+    overrides = {
+        k.replace("-", "_"): v
+        for k, v in (
+            ("voxel_size", args.voxel_size),
+            ("normal_radius", args.normal_radius),
+            ("model_scale", args.model_scale),
+        )
+        if v is not None
+    }
+    pre = dataclasses.replace(pre, **overrides)
+
+    src_root, out_root = _model_dirs(args, args.object)
+    src = os.path.join(src_root, "textured_vertices.ply")
+    dst_model = os.path.join(out_root, "model_search.ply")
+    dst_table = os.path.join(out_root, "ppf_table.npz")
+    os.makedirs(out_root, exist_ok=True)
+    for f in (dst_model, dst_table):
+        if os.path.exists(f):
+            os.remove(f)
+
+    n, maxd = preprocess_model(src, dst_model, dst_table, pre)
+    print(f"wrote {dst_model} ({n} points) and {dst_table}")
+    return 0
+
+
+def cmd_stocs_single(argv):
+    from .config import get_preset
+    from .estimator import StocsEstimator
+    from .io import ply
+    from .model import load_model_pack
+    from .ops.geometry import transform_points
+    from .scene import load_scene
+
+    p = argparse.ArgumentParser(prog="stocs-single")
+    p.add_argument("scene_path")
+    p.add_argument("object")
+    _add_common(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--number-of-bases", type=int, default=None)
+    p.add_argument("--no-coarse-to-fine", action="store_true",
+                   help="score every hypothesis with the full model")
+    args = p.parse_args(argv)
+
+    cfg = get_preset(args.preset).match
+    if args.number_of_bases is not None:
+        cfg = dataclasses.replace(cfg, number_of_bases=args.number_of_bases)
+    cfg = dataclasses.replace(cfg, seed=args.seed)
+
+    _src_root, model_root = _model_dirs(args, args.object)
+    model_ply = os.path.join(model_root, "model_search.ply")
+    table_path = os.path.join(model_root, "ppf_table.npz")
+
+    scene_out = (
+        os.path.join(args.output_root, os.path.basename(args.scene_path.rstrip("/")))
+        if args.output_root
+        else args.scene_path
+    )
+    dbg = os.path.join(scene_out, "dbg")
+    shutil.rmtree(dbg, ignore_errors=True)
+    os.makedirs(dbg, exist_ok=True)
+
+    print("############# LOADING OBJECT MAPS ################")
+    model = load_model_pack(model_ply, table_path, cfg.max_model_points)
+    print(f"|M| = {int(model.count())}, pairs = {model.table.num_pairs}")
+    print("############# LOADING OBJECT COMPLETE ################")
+
+    edge_path = os.path.join(args.scene_path, "probability_maps", "edge.png")
+    scene = load_scene(
+        os.path.join(args.scene_path, "rgb.png"),
+        os.path.join(args.scene_path, "depth.png"),
+        os.path.join(args.scene_path, "probability_maps", f"{args.object}.png"),
+        edge_path if os.path.exists(edge_path) else None,
+        cfg,
+    )
+    print(f"|S|: {int(scene.count())}")
+
+    sc = {
+        k: np.asarray(getattr(scene, k))
+        for k in ("pos", "normal", "rgb", "valid", "centroid")
+    }
+    live = sc["valid"]
+    ply.write_ply(
+        os.path.join(dbg, "sampled_scene.ply"),
+        sc["pos"][live] + sc["centroid"], sc["normal"][live], sc["rgb"][live],
+    )
+
+    print(f"############# RUNNING STOCS for Scene: {args.scene_path}, "
+          f"Object: {args.object} ##############")
+    est = StocsEstimator(model, scene, cfg)
+    result = est.run(coarse_to_fine=not args.no_coarse_to_fine)
+
+    if result.best_index >= 0:
+        t = result.best_world_transform
+        out_file = os.path.join(
+            scene_out, f"best_pose_candidate_{args.object}.txt"
+        )
+        os.makedirs(scene_out, exist_ok=True)
+        with open(out_file, "w") as f:
+            f.write(" ".join(f"{t[i, j]:g}" for i in range(3) for j in range(4)))
+            f.write("\n")
+        print(f"wrote {out_file}")
+
+        # visualize_best_pose parity (stocs.hpp:137-149): transformed model +
+        # scene, both in the centered frame
+        mp = np.asarray(model.pos)[np.asarray(model.valid)]
+        moved = np.asarray(
+            transform_points(result.best_transform, mp)
+        )
+        ply.write_ply(os.path.join(dbg, "best_pose.ply"), moved)
+        ply.write_ply(
+            os.path.join(dbg, "scene.ply"), sc["pos"][live],
+            sc["normal"][live], sc["rgb"][live],
+        )
+    else:
+        print("no pose found")
+
+    for phase, secs in result.timings.items():
+        print(f"  {phase}: {secs*1e3:.1f} ms")
+    print(f"  hypotheses/sec: {result.stats['hypotheses_per_sec']:.3g}")
+    return 0
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "model-preprocess":
+        return cmd_model_preprocess(rest)
+    if cmd == "stocs-single":
+        return cmd_stocs_single(rest)
+    print(f"unknown command {cmd!r}; use model-preprocess or stocs-single")
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,11 @@ class MatchConfig:
     # distance_threshold when matching congruent sets (stocs.cpp:854), making
     # the effective radius sqrt(distance_threshold). True reproduces that.
     congruent_sqdist_quirk: bool = True
+    # "cell": replicate the reference's same-grid-cell gating between the e1
+    # and e2 intermediate points (IndexedNormalSet only inspects the query's
+    # own cell, normalset.hpp:132-140) plus the quirky distance check.
+    # "radius": cleaner proper-distance gate ||e1-e2|| <= distance_threshold.
+    congruent_distance_mode: str = "cell"
 
     # ---- fixed capacities for the batched TPU pipeline (not in reference;
     #      the reference uses unbounded std::vector/std::map) ----
@@ -121,10 +126,19 @@ class MatchConfig:
     # Angular gate half-width (cosine units) applied between pair directions in
     # congruent extraction. The reference's IndexedNormalSet cone rasterization
     # (normalset.hpp:166-214) admits directions whose angle to the base angle
-    # alpha is within roughly one angular cell (grid of 7 cells/dim); we apply
-    # an explicit |dot - alpha| <= tol gate instead. <0 disables the gate
-    # (pure distance check — a superset of the reference's matches).
-    congruent_cos_tolerance: float = -1.0
+    # alpha is within roughly one angular cell (grid of 7 cells/dim, ~16 deg
+    # resolution); we apply an explicit |dot - alpha| <= tol gate instead,
+    # with 0.3 approximating that cell size. <0 disables the gate (pure
+    # distance check — a superset of the reference's matches).
+    congruent_cos_tolerance: float = 0.3
+
+    # Scene normal estimator. "cloud_pca" (default): radius-PCA over the
+    # voxel-downsampled cloud (radius = scene_normal_radius_factor * voxel),
+    # markedly more coherent than image-window gradients on real depth noise.
+    # "depth": windowed-LS depth-gradient normals, the analogue of the
+    # reference's cv::rgbd::RgbdNormals LINEMOD method (rgbd.cpp:202-206).
+    scene_normal_mode: str = "cloud_pca"
+    scene_normal_radius_factor: float = 2.5
 
     # PRNG seed for the whole run. The reference re-seeds from the wall clock
     # on every draw (stocs.cpp:135) and is therefore non-deterministic; we are

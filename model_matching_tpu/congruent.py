@@ -1,0 +1,177 @@
+"""Congruent 4-point set extraction on the model.
+
+Reimplements the reference's per-base IndexedNormalSet pipeline (reference:
+src/stocs.cpp:753-869 find_congruent_sets_on_model, using
+include/super4pcs/accelerators/normalset.{h,hpp} and
+include/super4pcs/pairCreationFunctor.h:96-143) as a batched masked tensor
+program:
+
+  * the two PPF lookups become padded pair lists from the dense table;
+  * the reference's euclidean grid insert + same-cell query (it only ever
+    inspects the query point's own cell, normalset.hpp:132-136,140) becomes
+    an integer cell-equality test between the e1 and e2 intermediate points
+    in the same power-of-two unit-cube grid;
+  * the cone rasterization over the 7^3 angular grid (normalset.hpp:166-214)
+    becomes a direct |dot(dir_P, dir_Q) - alpha| <= tol gate;
+  * the final world-coordinate check keeps the reference's unsquared-
+    threshold quirk (squaredNorm <= distance_threshold, stocs.cpp:854)
+    behind MatchConfig.congruent_sqdist_quirk;
+  * the reference's random 200-subsample of oversized candidate sets
+    (src/stocs_match_one_object.cpp:132-143) becomes a keyed random top-k.
+
+Bases are processed under lax.map so the [P_cap, Q_cap] mask matrices stay
+one-base-sized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import MatchConfig
+from .ops.ppf import ppf_bins
+from .ppf_table import PPFTable, gather_pairs, lookup_pair_range
+
+
+class CongruentSets(NamedTuple):
+    quads: jax.Array        # [B, K, 4] int32 model indices (p1, p2, q1, q2)
+    quad_valid: jax.Array   # [B, K] bool
+    total_found: jax.Array  # [B] int32 (pre-cap count, for truncation stats)
+    pair_counts: jax.Array  # [B, 2] int32 (|P_pairs|, |Q_pairs|)
+
+
+def _unit_cube_params(model_pos):
+    """The reference's unit-cube normalization of the model
+    (pairCreationFunctor.h:96-132): offset = bbox center, ratio = largest
+    bbox extent + 0.001; worldToUnit(p) = (p - center)/ratio + 0.5."""
+    lo = jnp.min(model_pos, axis=0)
+    hi = jnp.max(model_pos, axis=0)
+    center = (lo + hi) * 0.5
+    ratio = jnp.max(hi - lo + 0.001)
+    return center, ratio
+
+
+def extract_congruent_sets(
+    key: jax.Array,
+    table: PPFTable,
+    model_pos: jax.Array,     # [M, 3] centered model positions
+    scene_pos: jax.Array,     # [N, 3] centered scene positions
+    scene_normal: jax.Array,  # [N, 3]
+    base_indices: jax.Array,  # [B, 4] reordered base indices
+    invariant1: jax.Array,    # [B]
+    invariant2: jax.Array,    # [B]
+    base_valid: jax.Array,    # [B]
+    cfg: MatchConfig,
+) -> CongruentSets:
+    center, ratio = _unit_cube_params(model_pos)
+    unit_pos = (model_pos - center) / ratio + 0.5
+
+    # grid resolution: power-of-two cell matching the reference's
+    # IndexedNormalSet constructor (normalset.h:114-122): egSize =
+    # 2^int(-log2(eps/ratio)), truncated toward zero like the C int cast
+    eps_n = cfg.distance_threshold / ratio
+    grid_depth = jnp.trunc(-jnp.log2(eps_n))
+    eg_size = jnp.exp2(grid_depth)
+
+    p_cap = cfg.max_pairs_per_bin
+    # the random top-k IS the reference's random 200-subsample: when fewer
+    # than maximum_congruent_sets match, all are taken
+    k_cap = cfg.maximum_congruent_sets
+
+    def one_base(args):
+        bkey, bidx, inv1, inv2, bvalid = args
+        b = scene_pos[bidx]          # [4, 3]
+        bn = scene_normal[bidx]
+
+        bins1 = ppf_bins(b[0], bn[0], b[1], bn[1], cfg.ppf_tr_discretization,
+                         cfg.ppf_rot_discretization)
+        bins2 = ppf_bins(b[2], bn[2], b[3], bn[3], cfg.ppf_tr_discretization,
+                         cfg.ppf_rot_discretization)
+
+        off1, cnt1 = lookup_pair_range(table, bins1)
+        off2, cnt2 = lookup_pair_range(table, bins2)
+        p_pairs, p_ok, p_total = gather_pairs(table, off1, cnt1, p_cap)
+        q_pairs, q_ok, q_total = gather_pairs(table, off2, cnt2, p_cap)
+
+        # angle between the two base segments (stocs.cpp:801-803)
+        d01 = b[1] - b[0]
+        d23 = b[3] - b[2]
+        alpha = jnp.sum(
+            d01 / jnp.maximum(jnp.linalg.norm(d01), 1e-30)
+            * (d23 / jnp.maximum(jnp.linalg.norm(d23), 1e-30))
+        )
+
+        def seg_points(pairs, inv):
+            a = unit_pos[pairs[:, 0]]
+            bb = unit_pos[pairs[:, 1]]
+            e_unit = a + inv * (bb - a)
+            aw = model_pos[pairs[:, 0]]
+            bw = model_pos[pairs[:, 1]]
+            e_world = aw + inv * (bw - aw)
+            dirs = bb - a
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+            )
+            return e_unit, e_world, dirs
+
+        e1_unit, e1_world, n1 = seg_points(p_pairs, inv1)
+        e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
+
+        cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)  # [P, 3]
+        cell2 = jnp.floor(e2_unit * eg_size).astype(jnp.int32)  # [Q, 3]
+
+        match = jnp.ones((p_cap, p_cap), bool)
+        if cfg.congruent_distance_mode == "cell":
+            same_cell = (
+                (cell1[:, None, 0] == cell2[None, :, 0])
+                & (cell1[:, None, 1] == cell2[None, :, 1])
+                & (cell1[:, None, 2] == cell2[None, :, 2])
+            )
+            match &= same_cell
+            thresh = (
+                cfg.distance_threshold
+                if cfg.congruent_sqdist_quirk
+                else cfg.distance_threshold**2
+            )
+        else:
+            thresh = cfg.distance_threshold**2
+
+        d2 = jnp.sum(
+            (e1_world[:, None, :] - e2_world[None, :, :]) ** 2, axis=-1
+        )
+        match &= d2 <= thresh
+
+        if cfg.congruent_cos_tolerance >= 0:
+            cos = n1 @ n2.T
+            match &= jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
+
+        match &= p_ok[:, None] & q_ok[None, :] & bvalid
+
+        total = jnp.sum(match.astype(jnp.int32))
+
+        # keyed random top-k subsample of the matches
+        rand = jax.random.uniform(bkey, match.shape, minval=0.0, maxval=1.0)
+        score = jnp.where(match, rand, -1.0).reshape(-1)
+        top, flat_idx = jax.lax.top_k(score, k_cap)
+        quad_valid = top >= 0.0
+        pi = flat_idx // p_cap
+        qi = flat_idx % p_cap
+        quads = jnp.stack(
+            [
+                p_pairs[pi, 0], p_pairs[pi, 1],
+                q_pairs[qi, 0], q_pairs[qi, 1],
+            ],
+            axis=-1,
+        ).astype(jnp.int32)
+        return quads, quad_valid, total, jnp.stack(
+            [p_total, q_total]
+        ).astype(jnp.int32)
+
+    b = base_indices.shape[0]
+    keys = jax.random.split(key, b)
+    quads, quad_valid, totals, pair_counts = jax.lax.map(
+        one_base, (keys, base_indices, invariant1, invariant2, base_valid)
+    )
+    return CongruentSets(quads, quad_valid, totals, pair_counts)

@@ -1,0 +1,208 @@
+"""The STOCS estimator: four batched device phases + artifact parity.
+
+Orchestrates the full online pipeline of the reference's stocs_estimator +
+run_stocs_estimation (reference: include/stocs.hpp:16-180,
+src/stocs_match_one_object.cpp:51-185):
+
+  phase 1  sample B bases                (sampling.py — one [B, N] program)
+  phase 2  congruent sets per base       (congruent.py — lax.map'd kernel)
+  phase 3  rigid fits                    (ops/fit.py — one [B, K] vmap)
+  phase 4  weighted-LCP scores + argmax  (scoring.py — coarse->fine)
+
+Per-phase wall-clock is reported like the reference's chrono spans
+(stocs_match_one_object.cpp:103-164), plus a hypotheses/sec counter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import congruent, sampling, scoring
+from .config import MatchConfig
+from .model import ModelPack
+from .ops import fit as fit_ops
+from .scene import ScenePack
+from .types import PoseCandidates
+
+
+@dataclasses.dataclass
+class StocsResult:
+    poses: PoseCandidates          # all hypotheses (padded, validity-masked)
+    best_index: int                # -1 if no pose found
+    best_lcp: float
+    best_transform: Optional[np.ndarray]        # centered-frame 4x4
+    best_world_transform: Optional[np.ndarray]  # original-frame 4x4
+    num_bases: int
+    num_hypotheses: int
+    timings: dict                  # seconds per phase
+    stats: dict
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_bases"))
+def _phase_sample(key, table, pos, normal, prior, valid, cfg: MatchConfig,
+                  num_bases: int):
+    return sampling.sample_class_bases(
+        key, table, pos, normal, prior, valid,
+        num_bases=num_bases,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_congruent(key, table, model_pos, scene_pos, scene_normal,
+                     bases: sampling.SampledBases, cfg: MatchConfig):
+    return congruent.extract_congruent_sets(
+        key, table, model_pos, scene_pos, scene_normal,
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
+    )
+
+
+@jax.jit
+def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
+               bases: sampling.SampledBases, sets: congruent.CongruentSets):
+    b, k, _ = sets.quads.shape
+    scene_quad = scene_pos[bases.indices]            # [B, 4, 3]
+    scene_quad = jnp.broadcast_to(scene_quad[:, None], (b, k, 4, 3))
+    model_quad = model_pos[sets.quads]               # [B, K, 4, 3]
+    out = fit_ops.fit_congruent_pairs(
+        scene_quad, model_quad, scene_centroid, model_centroid
+    )
+    valid = out["valid"] & sets.quad_valid & bases.valid[:, None]
+    base_index = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, k)
+    )
+    h = b * k
+    return PoseCandidates(
+        transform=out["transform"].reshape(h, 4, 4),
+        world_transform=out["world_transform"].reshape(h, 4, 4),
+        lcp=jnp.zeros((h,), jnp.float32),
+        base_index=base_index.reshape(h),
+        valid=valid.reshape(h),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "coarse_to_fine"))
+def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
+                 class_prob, cfg: MatchConfig, coarse_to_fine: bool):
+    kwargs = dict(
+        model_count=jnp.sum(model.valid.astype(jnp.float32)),
+    )
+    args = (
+        poses.transform, poses.valid,
+        model.pos, model.normal, model.valid,
+        scene.grid, scene.pos, scene.normal, class_prob,
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+    )
+    if coarse_to_fine:
+        scores = scoring.score_coarse_to_fine(*args, **kwargs)
+    else:
+        scores = scoring.score_transforms(*args, **kwargs)
+    idx, best = scoring.best_pose(scores)
+    return scores, idx, best
+
+
+class StocsEstimator:
+    """One (model, scene) matching session. The class path (no edge map) is
+    fully batched; the instance path threads flood-fill segments through a
+    sequential scan (see instance.py)."""
+
+    def __init__(self, model: ModelPack, scene: ScenePack, cfg: MatchConfig):
+        self.model = model
+        self.scene = scene
+        self.cfg = cfg
+        # mutable class-probability state: the instance path decays it and
+        # the reference scores with the decayed values (Point3D
+        # update_class_probability mutates the same field LCP reads,
+        # point3d.hpp:54-56, stocs.cpp:1033)
+        self.class_prob = scene.class_prob
+
+    def run(self, seed: Optional[int] = None, coarse_to_fine: bool = True,
+            verbose: bool = True) -> StocsResult:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        k_sample, k_cong = jax.random.split(key)
+        timings = {}
+
+        t0 = time.perf_counter()
+        bases = _phase_sample(
+            k_sample, self.model.table, self.scene.pos, self.scene.normal,
+            self.class_prob, self.scene.valid, cfg, cfg.number_of_bases,
+        )
+        bases = jax.block_until_ready(bases)
+        timings["sample_bases"] = time.perf_counter() - t0
+        n_bases = int(jnp.sum(bases.valid))
+        if verbose:
+            print(f"Sampled {n_bases} bases in "
+                  f"{timings['sample_bases']*1e6:.0f} us")
+
+        t0 = time.perf_counter()
+        sets = _phase_congruent(
+            k_cong, self.model.table, self.model.pos, self.scene.pos,
+            self.scene.normal, bases, cfg,
+        )
+        sets = jax.block_until_ready(sets)
+        timings["congruent_sets"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        poses = _phase_fit(
+            self.scene.pos, self.model.pos, self.scene.centroid,
+            self.model.centroid, bases, sets,
+        )
+        poses = jax.block_until_ready(poses)
+        timings["rigid_fit"] = time.perf_counter() - t0
+        n_hyp = int(jnp.sum(poses.valid))
+        if verbose:
+            total_sets = int(jnp.sum(sets.total_found))
+            print(f"found {total_sets} congruent sets "
+                  f"({n_hyp} hypotheses) in "
+                  f"{(timings['congruent_sets']+timings['rigid_fit'])*1e6:.0f} us")
+
+        t0 = time.perf_counter()
+        scores, idx, best = _phase_score(
+            poses, self.model, self.scene, self.class_prob, cfg, coarse_to_fine
+        )
+        scores = jax.block_until_ready(scores)
+        timings["scoring"] = time.perf_counter() - t0
+        if verbose:
+            print(f"evaluated transforms in {timings['scoring']*1e6:.0f} us")
+
+        poses = dataclasses.replace(poses, lcp=scores)
+        best_index = int(idx)
+        best_lcp = float(best)
+        if verbose:
+            print(f"best index: {best_index}, maximum score: {best_lcp}")
+
+        best_t = best_w = None
+        if best_index >= 0:
+            best_t = np.asarray(poses.transform[best_index])
+            best_w = np.asarray(poses.world_transform[best_index])
+
+        hyps_per_sec = (
+            n_hyp / timings["scoring"] if timings["scoring"] > 0 else 0.0
+        )
+        return StocsResult(
+            poses=poses,
+            best_index=best_index,
+            best_lcp=best_lcp,
+            best_transform=best_t,
+            best_world_transform=best_w,
+            num_bases=n_bases,
+            num_hypotheses=n_hyp,
+            timings=timings,
+            stats={
+                "hypotheses_per_sec": hyps_per_sec,
+                "congruent_total": int(jnp.sum(sets.total_found)),
+                "pair_count_max": int(jnp.max(sets.pair_counts)),
+            },
+        )

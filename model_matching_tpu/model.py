@@ -1,0 +1,62 @@
+"""Preprocessed-model loading: the search cloud + its PPF table.
+
+Replaces the reference's load_object_info (reference: src/stocs.cpp:86-97:
+PLY read + preloaded Boost map). The artifact pair is model_search.ply +
+ppf_table.npz, produced by preprocess.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io import ply
+from .ppf_table import PPFTable, load_ppf_table
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ModelPack:
+    pos: jax.Array       # [M, 3] centered, padded
+    normal: jax.Array    # [M, 3]
+    rgb: jax.Array       # [M, 3]
+    valid: jax.Array     # [M]
+    centroid: jax.Array  # [3]
+    table: PPFTable
+
+    def count(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def load_model_pack(model_ply_path: str, table_path: str, capacity: int) -> ModelPack:
+    pos, normal, rgb = ply.read_ply_cloud(model_ply_path, scale=1.0)
+    if normal is None:
+        raise ValueError(f"{model_ply_path} has no normals; run model-preprocess")
+    n = pos.shape[0]
+    if n > capacity:
+        raise ValueError(
+            f"model has {n} points > capacity {capacity}; raise max_model_points"
+        )
+    table, _meta = load_ppf_table(table_path)
+
+    centroid = pos.mean(axis=0)
+    pos = pos - centroid
+
+    def pad(a, fill=0.0):
+        out = np.full((capacity, a.shape[1]), fill, dtype=np.float32)
+        out[:n] = a
+        return jnp.asarray(out)
+
+    valid = np.zeros(capacity, bool)
+    valid[:n] = True
+    return ModelPack(
+        pos=pad(pos),
+        normal=pad(normal),
+        rgb=pad(rgb if rgb is not None else np.full((n, 3), -1.0, np.float32)),
+        valid=jnp.asarray(valid),
+        centroid=jnp.asarray(centroid.astype(np.float32)),
+        table=table,
+    )

@@ -103,6 +103,68 @@ def depth_normals(depth, fx, cx, fy, cy, window: int = 5):
     return n, ok
 
 
+def grid_pca_normals(pos, valid, radius: float, cell_cap: int = 64,
+                     min_neighbors: int = 3):
+    """Device-side radius-PCA normals over a padded cloud, via the same
+    sorted-voxel-grid 27-cell pattern as ops.voxel.radius_outlier_mask:
+    accumulate neighbor first/second moments, then take the smallest
+    covariance eigenvector. Oriented toward the camera at the origin
+    (n . p < 0), the convention of the reference's scene normals
+    (cv::rgbd::RgbdNormals; the LCP gate consumes them at stocs.cpp:1026-1032).
+
+    Returns (normal [N, 3], ok [N])."""
+    n = pos.shape[0]
+    big = jnp.float32(3.0e38)
+    masked_pos = jnp.where(valid[:, None], pos, big)
+    origin = jnp.min(masked_pos, axis=0)
+    ijk = jnp.clip(
+        jnp.floor((pos - origin) / radius).astype(jnp.int32), 0, 1023
+    )
+    key = jnp.where(
+        valid, (ijk[..., 0] * 1024 + ijk[..., 1]) * 1024 + ijk[..., 2],
+        jnp.int32(2**31 - 1),
+    )
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pos_s = pos[order]
+
+    r2 = jnp.float32(radius * radius)
+    cnt = jnp.zeros((n,), jnp.float32)
+    s1 = jnp.zeros((n, 3), jnp.float32)
+    s2 = jnp.zeros((n, 3, 3), jnp.float32)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                nkey = key + (dx * 1024 + dy) * 1024 + dz
+                start = jnp.searchsorted(key_s, nkey, side="left")
+                end = jnp.searchsorted(key_s, nkey, side="right")
+                span = jnp.minimum(end - start, cell_cap)
+
+                def body(k, state):
+                    cnt, s1, s2 = state
+                    idx = jnp.minimum(start + k, n - 1)
+                    p = pos_s[idx]
+                    d2 = jnp.sum((pos - p) ** 2, axis=-1)
+                    w = ((k < span) & (d2 <= r2)).astype(jnp.float32)
+                    cnt = cnt + w
+                    s1 = s1 + w[:, None] * p
+                    s2 = s2 + w[:, None, None] * (p[:, :, None] * p[:, None, :])
+                    return cnt, s1, s2
+
+                cnt, s1, s2 = jax.lax.fori_loop(
+                    0, cell_cap, body, (cnt, s1, s2)
+                )
+
+    denom = jnp.maximum(cnt, 1.0)
+    mean = s1 / denom[:, None]
+    cov = s2 / denom[:, None, None] - mean[:, :, None] * mean[:, None, :]
+    nrm = smallest_eigenvector_3x3(cov)
+    flip = jnp.sum(nrm * pos, axis=-1) > 0  # camera at origin: face it
+    nrm = jnp.where(flip[:, None], -nrm, nrm)
+    ok = valid & (cnt >= min_neighbors)
+    return jnp.where(ok[:, None], nrm, 0.0), ok
+
+
 def radius_neighbor_indices(pos: np.ndarray, radius: float, cap: int):
     """Host-side irregular neighbor search for offline model preprocessing
     (the online scene path never calls this). Returns padded [N, cap] int32

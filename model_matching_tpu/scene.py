@@ -1,0 +1,163 @@
+"""Scene ingestion: RGB-D images -> filtered, centered SoA point cloud.
+
+Device-side fusion of the reference's load_rgbd_data_sampled (reference:
+src/rgbd.cpp:179-281): back-projection, LINEMOD-style depth normals, voxel
+centroid downsample, radius outlier removal, z-clip, per-point
+probability/normal/color refetch by reprojection, and probability/normal
+rejection — emitting fixed-capacity padded arrays. The neighbor grid for
+LCP scoring is built on the host afterwards (the data is host-resident
+during image I/O anyway).
+
+One deliberate divergence: zero-depth pixels are dropped *before* the voxel
+filter instead of carrying a ghost cluster at the origin through it like the
+reference does (rgbd.cpp:208-230 back-projects every pixel, then relies on
+the z<=0 clip at rgbd.cpp:242); the ghost points influence nothing there
+either because of that later clip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MatchConfig
+from .io import image as imio
+from .ops import geometry, normals as normals_ops, voxel
+from .ops.gridhash import NeighborGrid, build_neighbor_grid
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ScenePack:
+    pos: jax.Array          # [P, 3] centered
+    normal: jax.Array       # [P, 3]
+    rgb: jax.Array          # [P, 3]
+    pixel: jax.Array        # [P, 2] (row, col)
+    class_prob: jax.Array   # [P] — mutable copy (instance path decays it)
+    edge_prob: jax.Array    # [P]
+    valid: jax.Array        # [P]
+    centroid: jax.Array     # [3]
+    grid: NeighborGrid
+
+    def count(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _scene_pipeline(rgb, depth_u16, prob_u16, edge_u8, cfg: MatchConfig):
+    fx, cx, fy, cy = cfg.camera.as_tuple()
+    depth = depth_u16.astype(jnp.float32) * cfg.depth_scale
+    pts_img = geometry.backproject_depth(depth, fx, cx, fy, cy)
+    nrm_img, nrm_ok = normals_ops.depth_normals(depth, fx, cx, fy, cy, window=5)
+
+    h, w = depth.shape
+    pos = pts_img.reshape(-1, 3)
+    valid = (depth > 0).reshape(-1)
+
+    # voxel centroid downsample (pcl::VoxelGrid, rgbd.cpp:227-230)
+    pos, valid, _ = voxel.voxel_downsample_centroid(pos, valid, cfg.voxel_size)
+
+    # radius outlier removal (rgbd.cpp:232-236)
+    valid = voxel.radius_outlier_mask(
+        pos, valid,
+        2.0 * cfg.voxel_size + cfg.outlier_radius_bias,
+        cfg.outlier_min_neighbors,
+    )
+
+    # z-clip (rgbd.cpp:242)
+    valid &= (pos[:, 2] > 0) & (pos[:, 2] <= cfg.max_scene_depth)
+
+    # reproject centroids to fetch per-pixel attributes (rgbd.cpp:245-261)
+    pix = geometry.project_points(pos, fx, cx, fy, cy)
+    row = jnp.clip(pix[:, 0], 0, h - 1)
+    col = jnp.clip(pix[:, 1], 0, w - 1)
+    in_img = (pix[:, 0] >= 0) & (pix[:, 0] < h) & (pix[:, 1] >= 0) & (pix[:, 1] < w)
+    valid &= in_img
+
+    class_prob = prob_u16[row, col].astype(jnp.float32) * cfg.probability_scale
+    edge_prob = (255.0 - edge_u8[row, col].astype(jnp.float32)) / 255.0
+    rgbv = rgb[row, col].astype(jnp.float32)
+
+    valid &= class_prob >= cfg.class_threshold
+
+    if cfg.scene_normal_mode == "depth":
+        nrm = nrm_img[row, col]
+        nok = nrm_ok[row, col]
+        valid &= nok & jnp.any(nrm != 0.0, axis=-1)
+    else:
+        # radius-PCA over the downsampled cloud (see MatchConfig docs);
+        # camera-facing orientation needs the uncentered positions
+        nrm, nok = normals_ops.grid_pca_normals(
+            pos, valid,
+            cfg.scene_normal_radius_factor * cfg.voxel_size,
+        )
+        valid &= nok
+
+    # compact valid points to the front (stable), pad to max_scene_points
+    valid_total = jnp.sum(valid.astype(jnp.int32))
+    order = jnp.argsort(~valid, stable=True)
+    take = order[: cfg.max_scene_points]
+    pos = pos[take]
+    valid = valid[take]
+    nrm = nrm[take]
+    class_prob = jnp.where(valid, class_prob[take], 0.0)
+    edge_prob = jnp.where(valid, edge_prob[take], 0.0)
+    rgbv = rgbv[take]
+    pixel = jnp.stack([row, col], axis=-1)[take]
+
+    # centroid shift (stocs.cpp:943-964)
+    cnt = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    centroid = jnp.sum(jnp.where(valid[:, None], pos, 0.0), axis=0) / cnt
+    pos = jnp.where(valid[:, None], pos - centroid, 0.0)
+
+    kept = jnp.sum(valid.astype(jnp.int32))
+    return dict(
+        pos=pos, normal=jnp.where(valid[:, None], nrm, 0.0), rgb=rgbv,
+        pixel=pixel, class_prob=class_prob, edge_prob=edge_prob,
+        valid=valid, centroid=centroid, count=kept,
+        truncated=valid_total - kept,  # points silently dropped by the cap
+    )
+
+
+def load_scene(
+    rgb_path: str,
+    depth_path: str,
+    class_prob_path: str,
+    edge_path: Optional[str],
+    cfg: MatchConfig,
+) -> ScenePack:
+    """Host image reads + the fused device pipeline + host grid build.
+
+    Missing edge map -> zeros (all free space), matching the reference's
+    dispatch (src/stocs.cpp:114-118: absent file -> zero image; note an
+    all-zero *uint8* edge image means edge_probability==1 everywhere, which
+    the class path never reads)."""
+    rgb = imio.read_rgb(rgb_path)
+    depth = imio.read_u16(depth_path)
+    prob = imio.read_u16(class_prob_path)
+    if edge_path is not None and os.path.exists(edge_path):
+        edge = imio.read_u8(edge_path)
+    else:
+        edge = np.zeros(depth.shape, np.uint8)
+
+    out = _scene_pipeline(
+        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(prob),
+        jnp.asarray(edge), cfg,
+    )
+    host_pos = np.asarray(out["pos"])
+    host_valid = np.asarray(out["valid"])
+    grid = build_neighbor_grid(
+        host_pos[host_valid], cell_size=cfg.distance_threshold
+    )
+    return ScenePack(
+        pos=out["pos"], normal=out["normal"], rgb=out["rgb"],
+        pixel=out["pixel"], class_prob=out["class_prob"],
+        edge_prob=out["edge_prob"], valid=out["valid"],
+        centroid=out["centroid"], grid=grid,
+    )
