@@ -95,19 +95,24 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
 @partial(jax.jit, static_argnames=("cfg", "coarse_to_fine"))
 def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
                  class_prob, cfg: MatchConfig, coarse_to_fine: bool):
-    kwargs = dict(
-        model_count=jnp.sum(model.valid.astype(jnp.float32)),
-    )
-    args = (
-        poses.transform, poses.valid,
-        model.pos, model.normal, model.valid,
-        scene.grid, scene.pos, scene.normal, class_prob,
-        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-    )
+    mc = jnp.sum(model.valid.astype(jnp.float32))
     if coarse_to_fine:
-        scores = scoring.score_coarse_to_fine(*args, **kwargs)
+        # production path: dense-field ranking + exact re-score of leaders
+        scores = scoring.score_hybrid(
+            poses.transform, poses.valid,
+            model.pos, model.normal, model.valid,
+            scene.field, scene.grid, scene.pos, scene.normal, class_prob,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+        )
     else:
-        scores = scoring.score_transforms(*args, **kwargs)
+        scores = scoring.score_transforms(
+            poses.transform, poses.valid,
+            model.pos, model.normal, model.valid,
+            scene.grid, scene.pos, scene.normal, class_prob,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+        )
     idx, best = scoring.best_pose(scores)
     return scores, idx, best
 

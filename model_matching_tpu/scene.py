@@ -29,6 +29,7 @@ import numpy as np
 from .config import MatchConfig
 from .io import image as imio
 from .ops import geometry, normals as normals_ops, voxel
+from .ops.densefield import DenseField, build_dense_field
 from .ops.gridhash import NeighborGrid, build_neighbor_grid
 
 
@@ -43,7 +44,8 @@ class ScenePack:
     edge_prob: jax.Array    # [P]
     valid: jax.Array        # [P]
     centroid: jax.Array     # [3]
-    grid: NeighborGrid
+    grid: NeighborGrid      # exact restricted-NN structure
+    field: DenseField       # dense NN field (fast scoring path)
 
     def count(self):
         return jnp.sum(self.valid.astype(jnp.int32))
@@ -155,9 +157,13 @@ def load_scene(
     grid = build_neighbor_grid(
         host_pos[host_valid], cell_size=cfg.distance_threshold
     )
+    field = build_dense_field(
+        host_pos[host_valid], np.asarray(out["normal"])[host_valid],
+        cfg.distance_threshold,
+    )
     return ScenePack(
         pos=out["pos"], normal=out["normal"], rgb=out["rgb"],
         pixel=out["pixel"], class_prob=out["class_prob"],
         edge_prob=out["edge_prob"], valid=out["valid"],
-        centroid=out["centroid"], grid=grid,
+        centroid=out["centroid"], grid=grid, field=field,
     )

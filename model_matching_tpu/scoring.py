@@ -20,9 +20,47 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .ops.densefield import DenseField, field_lookup
 from .ops.gridhash import NeighborGrid, query_restricted_nn
 
 _DEG2RAD = jnp.pi / 180.0
+
+
+def score_transforms_field(
+    transforms: jax.Array,    # [H, 4, 4]
+    valid: jax.Array,         # [H]
+    model_pos: jax.Array,     # [M, 3]
+    model_normal: jax.Array,  # [M, 3]
+    model_valid: jax.Array,   # [M]
+    field: DenseField,
+    scene_class_prob: jax.Array,  # [S]
+    distance_threshold: float,
+    normal_angle_threshold_deg: float,
+    model_count: jax.Array | None = None,
+) -> jax.Array:
+    """Fast-path weighted LCP via the dense NN field: one aligned row gather
+    per (hypothesis, model point). Same gates as score_transforms, with the
+    candidate chosen per-cell (see ops/densefield.py docstring)."""
+    cos_gate = jnp.cos(normal_angle_threshold_deg * _DEG2RAD)
+    if model_count is None:
+        model_count = jnp.sum(model_valid.astype(jnp.float32))
+    rot = transforms[:, :3, :3]
+    t = transforms[:, :3, 3]
+    q = jnp.einsum("hij,mj->hmi", rot, model_pos) + t[:, None, :]
+    cand_pos, cand_nrm, cand_idx, occ = field_lookup(field, q)
+    d2 = jnp.sum((q - cand_pos) ** 2, axis=-1)
+    nq = jnp.einsum("hij,mj->hmi", rot, model_normal)
+    cos = jnp.sum(cand_nrm * nq, axis=-1)
+    w = jnp.where(
+        occ
+        & (d2 <= distance_threshold * distance_threshold)
+        & (cos > cos_gate)
+        & model_valid[None, :],
+        scene_class_prob[cand_idx],
+        0.0,
+    )
+    scores = jnp.sum(w, axis=-1) / jnp.maximum(model_count, 1.0)
+    return jnp.where(valid, scores, -1.0)
 
 
 def score_transforms(
@@ -82,6 +120,59 @@ def best_pose(scores: jax.Array) -> Tuple[jax.Array, jax.Array]:
     best_idx = jnp.argmax(scores)
     best = scores[best_idx]
     return jnp.where(best > 0, best_idx, -1), jnp.maximum(best, 0.0)
+
+
+def score_hybrid(
+    transforms, valid, model_pos, model_normal, model_valid,
+    field: DenseField, grid: NeighborGrid,
+    scene_pos, scene_normal, scene_class_prob,
+    distance_threshold, normal_angle_threshold_deg,
+    model_count=None,
+    coarse_points: int = 128,
+    mid_fraction: float = 0.1,
+    refine_count: int = 256,
+):
+    """Production scorer: a three-stage ladder.
+
+    1. dense field + strided model subset (every hypothesis — cheap unbiased
+       rank estimate),
+    2. dense field + full model (top mid_fraction),
+    3. exact grid + full model (top refine_count) — final LCP values keep
+       the reference's NN semantics for every hypothesis that can win.
+
+    Non-leaders report -1 (they only needed to lose the ranking)."""
+    h = transforms.shape[0]
+    m = model_pos.shape[0]
+
+    stride = max(1, m // coarse_points)
+    sub = slice(0, m, stride)
+    coarse = score_transforms_field(
+        transforms, valid, model_pos[sub], model_normal[sub], model_valid[sub],
+        field, scene_class_prob,
+        distance_threshold, normal_angle_threshold_deg,
+    )
+
+    k_mid = min(h, max(refine_count, int(h * mid_fraction)))
+    _t, mid_idx = jax.lax.top_k(coarse, k_mid)
+    mid = score_transforms_field(
+        transforms[mid_idx], valid[mid_idx],
+        model_pos, model_normal, model_valid,
+        field, scene_class_prob,
+        distance_threshold, normal_angle_threshold_deg,
+        model_count=model_count,
+    )
+
+    k_fine = min(k_mid, refine_count)
+    _t, fine_rel = jax.lax.top_k(mid, k_fine)
+    fine_idx = mid_idx[fine_rel]
+    fine = score_transforms(
+        transforms[fine_idx], valid[fine_idx], model_pos, model_normal,
+        model_valid, grid, scene_pos, scene_normal, scene_class_prob,
+        distance_threshold, normal_angle_threshold_deg,
+        model_count=model_count,
+    )
+    out = jnp.full((h,), -1.0, coarse.dtype)
+    return out.at[fine_idx].set(fine)
 
 
 def score_coarse_to_fine(

@@ -14,6 +14,7 @@ from model_matching_tpu import ppf_table as ppft
 from model_matching_tpu.config import MatchConfig
 from model_matching_tpu.estimator import StocsEstimator
 from model_matching_tpu.model import ModelPack
+from model_matching_tpu.ops.densefield import build_dense_field
 from model_matching_tpu.ops.gridhash import build_neighbor_grid
 from model_matching_tpu.scene import ScenePack
 
@@ -102,6 +103,7 @@ def setup():
     sc = spos.mean(0)
     centered = spos - sc
     grid = build_neighbor_grid(centered, cell_size=cfg.distance_threshold)
+    field = build_dense_field(centered, snrm, cfg.distance_threshold)
     nscene = len(spos)
     scene = ScenePack(
         pos=pad(centered, cfg.max_scene_points),
@@ -113,6 +115,7 @@ def setup():
         valid=jnp.asarray(np.arange(cfg.max_scene_points) < nscene),
         centroid=jnp.asarray(sc),
         grid=grid,
+        field=field,
     )
     return model, scene, cfg, gt, (mpos, spos_obj)
 

@@ -1,0 +1,122 @@
+"""Scoring kernel tests: exact grid scorer vs brute force, dense-field
+scorer vs exact scorer, hybrid consistency."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from model_matching_tpu import scoring
+from model_matching_tpu.ops.densefield import build_dense_field
+from model_matching_tpu.ops.gridhash import build_neighbor_grid
+
+
+def _setup(rng, s=600, m=150):
+    scene = rng.uniform(-0.2, 0.2, (s, 3)).astype(np.float32)
+    snrm = rng.normal(size=(s, 3)).astype(np.float32)
+    snrm /= np.linalg.norm(snrm, axis=1, keepdims=True)
+    sprob = rng.uniform(0.1, 1.0, s).astype(np.float32)
+    # model points = a subset of the scene, so identity is a strong pose
+    sel = rng.choice(s, m, replace=False)
+    mpos = scene[sel] + rng.normal(0, 0.001, (m, 3)).astype(np.float32)
+    mnrm = snrm[sel]
+    return scene, snrm, sprob, mpos, mnrm
+
+
+def _brute_score(tr, mpos, mnrm, scene, snrm, sprob, eps, cos_gate):
+    q = mpos @ tr[:3, :3].T + tr[:3, 3]
+    nq = mnrm @ tr[:3, :3].T
+    d2 = ((q[:, None] - scene[None]) ** 2).sum(-1)
+    idx = d2.argmin(1)
+    found = d2[np.arange(len(q)), idx] <= eps * eps
+    cos = (snrm[idx] * nq).sum(-1)
+    w = np.where(found & (cos > cos_gate), sprob[idx], 0.0)
+    return w.sum() / len(mpos)
+
+
+def test_exact_scorer_matches_bruteforce(rng):
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grid = build_neighbor_grid(scene, cell_size=eps)
+    trs = [np.eye(4, dtype=np.float32)]
+    for _ in range(5):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = rng.normal(0, 0.02, 3)
+        trs.append(t)
+    trs = np.stack(trs)
+    got = np.asarray(
+        scoring.score_transforms(
+            jnp.asarray(trs), jnp.ones(len(trs), bool),
+            jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool),
+            grid, jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob),
+            eps, 30.0,
+        )
+    )
+    want = np.array(
+        [
+            _brute_score(t, mpos, mnrm, scene, snrm, sprob, eps,
+                         np.cos(np.radians(30)))
+            for t in trs
+        ]
+    )
+    # NN ties can pick different equal-distance points with different probs;
+    # allow tiny slack
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    assert got[0] > 0.3  # identity is a real match
+
+
+def test_field_scorer_tracks_exact(rng):
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grid = build_neighbor_grid(scene, cell_size=eps)
+    field = build_dense_field(scene, snrm, eps)
+    trs = [np.eye(4, dtype=np.float32)]
+    for s in (0.002, 0.005, 0.02, 0.1):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = rng.normal(0, s, 3)
+        trs.append(t)
+    trs = jnp.asarray(np.stack(trs))
+    valid = jnp.ones(trs.shape[0], bool)
+    margs = (jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool))
+    exact = np.asarray(
+        scoring.score_transforms(
+            trs, valid, *margs, grid,
+            jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob),
+            eps, 30.0,
+        )
+    )
+    fast = np.asarray(
+        scoring.score_transforms_field(
+            trs, valid, *margs, field, jnp.asarray(sprob), eps, 30.0
+        )
+    )
+    # field candidate selection is per-cell: small absolute deviation allowed
+    np.testing.assert_allclose(fast, exact, atol=0.05)
+    # ranking of a strong pose vs junk must agree
+    assert fast.argmax() == exact.argmax() == 0
+
+
+def test_hybrid_final_scores_are_exact(rng):
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grid = build_neighbor_grid(scene, cell_size=eps)
+    field = build_dense_field(scene, snrm, eps)
+    h = 64
+    trs = np.tile(np.eye(4, dtype=np.float32), (h, 1, 1))
+    trs[:, :3, 3] = rng.normal(0, 0.05, (h, 3)).astype(np.float32)
+    trs[0, :3, 3] = 0
+    trs = jnp.asarray(trs)
+    valid = jnp.ones(h, bool)
+    margs = (jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool))
+    sargs = (jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob))
+    hybrid = np.asarray(
+        scoring.score_hybrid(
+            trs, valid, *margs, field, grid, *sargs, eps, 30.0,
+            coarse_points=64, mid_fraction=0.5, refine_count=8,
+        )
+    )
+    exact = np.asarray(
+        scoring.score_transforms(trs, valid, *margs, grid, *sargs, eps, 30.0)
+    )
+    # the winner's hybrid score equals its exact score
+    wi = hybrid.argmax()
+    assert hybrid[wi] == exact[wi] or abs(hybrid[wi] - exact[wi]) < 1e-6
+    assert wi == exact.argmax()
