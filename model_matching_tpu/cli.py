@@ -144,6 +144,18 @@ def cmd_stocs_single(argv):
     est = StocsEstimator(model, scene, cfg)
     result = est.run(coarse_to_fine=not args.no_coarse_to_fine)
 
+    if est.seg_masks is not None:
+        # seg_mask_<n>.png debug artifacts (reference: stocs.cpp:625)
+        from .io.image import write_u8
+
+        masks = np.asarray(est.seg_masks)
+        for i in range(1, masks.shape[0]):
+            if masks[i].any():
+                write_u8(
+                    os.path.join(dbg, f"seg_mask_{i}.png"),
+                    masks[i].astype(np.uint8) * 255,
+                )
+
     if result.best_index >= 0:
         t = result.best_world_transform
         out_file = os.path.join(

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import congruent, sampling, scoring
+from . import congruent, instance, sampling, scoring
 from .config import MatchConfig
 from .model import ModelPack
 from .ops import fit as fit_ops
@@ -56,6 +56,23 @@ def _phase_sample(key, table, pos, normal, prior, valid, cfg: MatchConfig,
         plane_threshold=cfg.plane_threshold,
         min_distance_base=cfg.min_distance_base,
         internal_angle_threshold=cfg.internal_angle_threshold,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_bases"))
+def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
+                           cfg: MatchConfig, num_bases: int):
+    return instance.sample_instance_bases(
+        key, table, scene.pos, scene.normal, class_prob,
+        scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
+        num_bases=num_bases,
+        dispersion=cfg.sample_dispersion,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+        flood_max_iters=cfg.flood_fill_max_iters,
     )
 
 
@@ -131,6 +148,7 @@ class StocsEstimator:
         # update_class_probability mutates the same field LCP reads,
         # point3d.hpp:54-56, stocs.cpp:1033)
         self.class_prob = scene.class_prob
+        self.seg_masks = None
 
     def run(self, seed: Optional[int] = None, coarse_to_fine: bool = True,
             verbose: bool = True) -> StocsResult:
@@ -140,11 +158,25 @@ class StocsEstimator:
         timings = {}
 
         t0 = time.perf_counter()
-        bases = _phase_sample(
-            k_sample, self.model.table, self.scene.pos, self.scene.normal,
-            self.class_prob, self.scene.valid, cfg, cfg.number_of_bases,
-        )
-        bases = jax.block_until_ready(bases)
+        self.seg_masks = None
+        if self.scene.has_edge:
+            inst = _phase_sample_instance(
+                k_sample, self.model.table, self.scene, self.class_prob,
+                cfg, cfg.number_of_bases,
+            )
+            inst = jax.block_until_ready(inst)
+            bases = sampling.SampledBases(
+                inst.indices, inst.invariant1, inst.invariant2, inst.valid
+            )
+            # the dispersion decay persists into scoring (see __init__ note)
+            self.class_prob = inst.class_prob
+            self.seg_masks = inst.seg_masks
+        else:
+            bases = _phase_sample(
+                k_sample, self.model.table, self.scene.pos, self.scene.normal,
+                self.class_prob, self.scene.valid, cfg, cfg.number_of_bases,
+            )
+            bases = jax.block_until_ready(bases)
         timings["sample_bases"] = time.perf_counter() - t0
         n_bases = int(jnp.sum(bases.valid))
         if verbose:

@@ -1,0 +1,89 @@
+"""Edge-bounded flood-fill segmentation as iterated masked dilation.
+
+The reference grows a segment from the sampled seed pixel with a BFS queue
+over the 8-connected free-space pixels (edge probability == 0, i.e. edge
+image value 255) within a euclidean pixel radius of the seed (reference:
+src/rgbd.cpp:314-367 generate_segmentation_mask). Queues don't vectorize;
+the fixpoint of BFS reachability equals iterating a 3x3 dilation masked by
+the allowed set, so that is what runs here — one [H, W] program per fill,
+bounded by max_iters (reachability saturates after at most
+max-path-length sweeps; each sweep applies `steps` dilations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _dilate8(mask):
+    """8-connected binary dilation (zero padding at the image border)."""
+    h, w = mask.shape
+    p = jnp.pad(mask, 1)
+    acc = mask
+    for dr in (0, 1, 2):
+        for dc in (0, 1, 2):
+            if dr == 1 and dc == 1:
+                continue
+            acc = acc | jax.lax.dynamic_slice(p, (dr, dc), (h, w))
+    return acc
+
+
+def flood_fill(
+    seed_rc: jax.Array,      # [2] int32 (row, col)
+    edge_free: jax.Array,    # [H, W] bool — pixels the fill may enter
+    max_pixel_distance,      # scalar — euclidean radius around the seed
+    max_iters: int = 512,
+    steps_per_iter: int = 8,
+):
+    """Boolean segment mask. The seed pixel is always in the mask (the
+    reference marks it before testing, rgbd.cpp:337-343); neighbors must be
+    free space AND strictly within max_pixel_distance of the seed
+    (rgbd.cpp:353-357)."""
+    h, w = edge_free.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    dist2 = (
+        (rows - seed_rc[0]).astype(jnp.float32) ** 2
+        + (cols - seed_rc[1]).astype(jnp.float32) ** 2
+    )
+    allowed = edge_free & (jnp.sqrt(dist2) < max_pixel_distance)
+
+    seed = jnp.zeros((h, w), bool).at[seed_rc[0], seed_rc[1]].set(True)
+
+    def cond(state):
+        i, mask, changed = state
+        return (i < max_iters) & changed
+
+    def body(state):
+        i, mask, _ = state
+        new = mask
+        for _ in range(steps_per_iter):
+            new = new | (_dilate8(new) & allowed)
+        return i + 1, new, jnp.any(new != mask)
+
+    _, mask, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
+    return mask
+
+
+def prune_edge_points(probs, edge_prob):
+    """Zero the sampling probability of points sitting exactly on an edge
+    (edge probability == 1, reference: src/stocs.cpp:521-535)."""
+    return jnp.where(edge_prob == 1.0, 0.0, probs)
+
+
+def segment_edge_max_probability(seg_mask, edge_prob_img, rc_a, rc_b):
+    """Max edge probability along the raster line between two pixels — the
+    reference's unused get_edge_probability_in_segment helper
+    (src/stocs.cpp:537-557, cv::LineIterator), provided for capability
+    parity. Uses a fixed-sample DDA instead of Bresenham."""
+    n = 256
+    t = jnp.linspace(0.0, 1.0, n)
+    rr = jnp.round(rc_a[0] + t * (rc_b[0] - rc_a[0])).astype(jnp.int32)
+    cc = jnp.round(rc_a[1] + t * (rc_b[1] - rc_a[1])).astype(jnp.int32)
+    h, w = edge_prob_img.shape
+    rr = jnp.clip(rr, 0, h - 1)
+    cc = jnp.clip(cc, 0, w - 1)
+    return jnp.max(edge_prob_img[rr, cc])

@@ -1,0 +1,161 @@
+"""Instance-conditional base sampling: the edge-aware sequential path.
+
+The reference's sample_instance_base (reference: src/stocs.cpp:559-751)
+differs from the class path by (a) decaying the class probability of points
+inside the previous base's segment by `dispersion` — a cross-base mutation
+that also changes the LCP weights later (Point3D::update_class_probability
+mutates the field scoring reads, point3d.hpp:54-56, stocs.cpp:1033); (b)
+pruning points on edges; (c) flood-filling a segmentation mask around point
+1 (bounded by the edge map and the max PPF-feasible pixel distance,
+stocs.cpp:596-626) and restricting the remaining rounds to it, with a
+cross-base mask cache keyed by seed pixel (the reference caches PNG files in
+dbg/, rgbd.cpp:326-331; here a [B+1, H, W] device buffer).
+
+The cross-base dependence makes this inherently sequential, so it runs as
+one lax.scan over bases with the decayed probabilities, the previous
+segment, the claim buffer and the mask cache as carry.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import flood, sampling
+from .ppf_table import PPFTable
+
+
+class InstanceSamples(NamedTuple):
+    indices: jax.Array      # [B, 4] reordered base indices
+    invariant1: jax.Array   # [B]
+    invariant2: jax.Array   # [B]
+    valid: jax.Array        # [B]
+    class_prob: jax.Array   # [N] final decayed class probabilities
+    seg_masks: jax.Array    # [B+1, H, W] bool — per-base segments (0 unused)
+
+
+def sample_instance_bases(
+    key: jax.Array,
+    table: PPFTable,
+    pos: jax.Array,          # [N, 3] centered scene positions
+    normal: jax.Array,       # [N, 3]
+    class_prob0: jax.Array,  # [N] initial class probabilities
+    edge_prob: jax.Array,    # [N] per-point edge probability
+    pixel: jax.Array,        # [N, 2] (row, col) source pixels
+    valid: jax.Array,        # [N]
+    edge_free: jax.Array,    # [H, W] bool — flood fill may enter
+    num_bases: int,
+    dispersion: float,
+    tr_disc: int,
+    rot_disc: int,
+    plane_threshold: float,
+    min_distance_base: float,
+    internal_angle_threshold: float,
+    flood_max_iters: int = 512,
+) -> InstanceSamples:
+    n = pos.shape[0]
+    h, w = edge_free.shape
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+
+    def one_base(carry, inp):
+        class_prob, prev_segment, seg_buffer, masks = carry
+        base_num, bkey = inp
+        k1, k2, k3, k4 = jax.random.split(bkey, 4)
+
+        # cross-base dispersion decay inside the previous segment
+        # (stocs.cpp:571-580); note this mutates the carried class_prob
+        in_prev = prev_segment[pixel[:, 0], pixel[:, 1]]
+        class_prob = jnp.where(
+            in_prev & valid, class_prob * dispersion, class_prob
+        )
+
+        probs = jnp.where(valid, class_prob, 0.0)
+        probs = flood.prune_edge_points(probs, edge_prob)
+
+        def draw(k, p):
+            idx, ok = sampling._categorical_rows(k, p[None, :])
+            return idx[0], ok[0]
+
+        idx1, ok1 = draw(k1, probs)
+
+        # round-1 PPF mask + max feasible pixel distance (stocs.cpp:596-619)
+        exists1 = sampling._pairwise_exists(
+            table, pos, normal, idx1[None], tr_disc, rot_disc
+        )[0]
+        probs = jnp.where(exists1 & (arange_n != idx1), probs, 0.0)
+        seed_rc = pixel[idx1]
+        pix_d = jnp.sqrt(
+            jnp.sum((pixel - seed_rc).astype(jnp.float32) ** 2, axis=-1)
+        )
+        max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0))
+
+        # segmentation mask: reuse a cached segment if the seed pixel was
+        # claimed by an earlier base (rgbd.cpp:326-331), else flood fill
+        cached_id = seg_buffer[seed_rc[0], seed_rc[1]]
+
+        def reuse(_):
+            return masks[cached_id], seg_buffer
+
+        def fresh(_):
+            m = flood.flood_fill(
+                seed_rc, edge_free, max_pix_dist, max_iters=flood_max_iters
+            )
+            return m, jnp.where(m, base_num, seg_buffer)
+
+        seg_mask, seg_buffer = jax.lax.cond(cached_id != 0, reuse, fresh, None)
+        masks = jax.lax.dynamic_update_index_in_dim(
+            masks, seg_mask, base_num, axis=0
+        )
+        prev_segment = seg_mask
+
+        in_seg = seg_mask[pixel[:, 0], pixel[:, 1]]
+        probs = jnp.where(in_seg, probs, 0.0)
+
+        idx2, ok2 = draw(k2, probs)
+        keep2 = sampling.round2_keep_mask(
+            table, pos, normal, idx1[None], idx2[None], tr_disc, rot_disc,
+            internal_angle_threshold,
+        )[0]
+        probs = jnp.where(keep2, probs, 0.0)
+
+        idx3, ok3 = draw(k3, probs)
+        keep3 = sampling.round3_keep_mask(
+            table, pos, normal, idx1[None], idx2[None], idx3[None],
+            tr_disc, rot_disc, plane_threshold, min_distance_base,
+        )[0]
+        probs = jnp.where(keep3, probs, 0.0)
+
+        idx4, ok4 = draw(k4, probs)
+
+        raw = jnp.stack([idx1, idx2, idx3, idx4])
+        out = (raw, ok1 & ok2 & ok3 & ok4)
+        return (class_prob, prev_segment, seg_buffer, masks), out
+
+    keys = jax.random.split(key, num_bases)
+    base_nums = jnp.arange(1, num_bases + 1, dtype=jnp.int32)
+    carry0 = (
+        class_prob0,
+        jnp.zeros((h, w), bool),
+        jnp.zeros((h, w), jnp.int32),
+        jnp.zeros((num_bases + 1, h, w), bool),
+    )
+    (class_prob, _prev, _buf, masks), (raws, oks) = jax.lax.scan(
+        one_base, carry0, (base_nums, keys)
+    )
+
+    from .ops import invariants
+
+    base_pos = pos[raws]  # [B, 4, 3]
+    perm, inv1, inv2, _d = invariants.reorder_base(base_pos)
+    reordered = jnp.take_along_axis(raws, perm, axis=-1)
+    return InstanceSamples(
+        indices=reordered,
+        invariant1=inv1,
+        invariant2=inv2,
+        valid=oks,
+        class_prob=class_prob,
+        seg_masks=masks,
+    )

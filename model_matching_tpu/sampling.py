@@ -61,6 +61,66 @@ def _pairwise_exists(table: PPFTable, pos, normal, anchor_idx, tr, rot):
     return ppf_exists(table, keys)
 
 
+def round2_keep_mask(table, pos, normal, idx1, idx2, tr, rot,
+                     internal_angle_threshold):
+    """[B, N] keep-mask after drawing point 2: PPF(b2 -> i) must exist, i is
+    not b2, and the internal angle at b1 between (b2-b1) and (i-b1), folded
+    to [0, 90], is >= the threshold (reference: src/stocs.cpp:417-442)."""
+    n = pos.shape[0]
+    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
+    v1 = pos[idx2] - pos[idx1]
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
+    v2 = pos[None, :, :] - pos[idx1][:, None, :]
+    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
+    cosang = jnp.sum(v1[:, None, :] * v2, axis=-1)
+    angle = jnp.arccos(jnp.clip(cosang, -1.0, 1.0)) * _RAD2DEG
+    angle = jnp.minimum(angle, 180.0 - angle)
+    exists = _pairwise_exists(table, pos, normal, idx2, tr, rot)
+    return exists & (arange_n != idx2[:, None]) & ~(angle < internal_angle_threshold)
+
+
+def round3_keep_mask(table, pos, normal, idx1, idx2, idx3, tr, rot,
+                     plane_threshold, min_distance_base):
+    """[B, N] keep-mask after drawing point 3: near-coplanar with the plane
+    through b1-b3 (ax+by+cz=1 parametrization via Cramer's rule, matching
+    the reference's explicit expansion, src/stocs.cpp:456-497), minimum
+    pairwise distance, PPF(b3 -> i) exists, i is not b3."""
+    n = pos.shape[0]
+    b = idx1.shape[0]
+    arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
+    p1, p2, p3 = pos[idx1], pos[idx2], pos[idx3]  # [B, 3]
+    mat = jnp.stack([p1, p2, p3], axis=-2)  # [B, 3, 3]
+    denom = jnp.linalg.det(mat)
+    rhs = jnp.ones((b, 3), pos.dtype)
+
+    def cramer(col):
+        m = mat.at[:, :, col].set(rhs)
+        return jnp.linalg.det(m)
+
+    abc = jnp.stack([cramer(0), cramer(1), cramer(2)], axis=-1) / jnp.where(
+        jnp.abs(denom) > 0, denom, 1.0
+    )[:, None]
+    planar_distance = jnp.abs(
+        jnp.sum(abc[:, None, :] * pos[None, :, :], axis=-1) - 1.0
+    )
+    planar_distance = jnp.where(
+        (jnp.abs(denom) > 0)[:, None], planar_distance, 1e4
+    )
+    d1 = jnp.linalg.norm(pos[None, :, :] - p1[:, None, :], axis=-1)
+    d2 = jnp.linalg.norm(pos[None, :, :] - p2[:, None, :], axis=-1)
+    d3 = jnp.linalg.norm(pos[None, :, :] - p3[:, None, :], axis=-1)
+    exists = _pairwise_exists(table, pos, normal, idx3, tr, rot)
+    reject = (
+        (planar_distance > plane_threshold)
+        | (d1 < min_distance_base)
+        | (d2 < min_distance_base)
+        | (d3 < min_distance_base)
+        | ~exists
+        | (arange_n == idx3[:, None])
+    )
+    return ~reject
+
+
 def sample_class_bases(
     key: jax.Array,
     table: PPFTable,
@@ -92,57 +152,19 @@ def sample_class_bases(
 
     # ---- round 2
     idx2, ok2 = _categorical_rows(k2, probs)
-
-    v1 = pos[idx2] - pos[idx1]
-    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
-    v2 = pos[None, :, :] - pos[idx1][:, None, :]
-    v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-30)
-    cosang = jnp.sum(v1[:, None, :] * v2, axis=-1)
-    angle = jnp.arccos(jnp.clip(cosang, -1.0, 1.0)) * _RAD2DEG
-    angle = jnp.minimum(angle, 180.0 - angle)
-
-    exists2 = _pairwise_exists(table, pos, normal, idx2, tr_disc, rot_disc)
-    keep2 = exists2 & (arange_n != idx2[:, None]) & ~(angle < internal_angle_threshold)
+    keep2 = round2_keep_mask(
+        table, pos, normal, idx1, idx2, tr_disc, rot_disc,
+        internal_angle_threshold,
+    )
     probs = jnp.where(keep2, probs, 0.0)
 
     # ---- round 3
     idx3, ok3 = _categorical_rows(k3, probs)
-
-    # plane through points 1-3 in the ax+by+cz=1 parametrization
-    # (reference solves the same 3x3 system by Cramer expansion,
-    # stocs.cpp:456-479); coplanarity = |a x + b y + c z - 1|
-    p1, p2, p3 = pos[idx1], pos[idx2], pos[idx3]  # [B, 3]
-    mat = jnp.stack([p1, p2, p3], axis=-2)  # [B, 3, 3]
-    denom = jnp.linalg.det(mat)
-    rhs = jnp.ones((b, 3), pos.dtype)
-    # Cramer's rule, safe for denom == 0
-    def cramer(col):
-        m = mat.at[:, :, col].set(rhs)
-        return jnp.linalg.det(m)
-    abc = jnp.stack([cramer(0), cramer(1), cramer(2)], axis=-1) / jnp.where(
-        jnp.abs(denom) > 0, denom, 1.0
-    )[:, None]
-    planar_distance = jnp.abs(
-        jnp.sum(abc[:, None, :] * pos[None, :, :], axis=-1) - 1.0
+    keep3 = round3_keep_mask(
+        table, pos, normal, idx1, idx2, idx3, tr_disc, rot_disc,
+        plane_threshold, min_distance_base,
     )
-    planar_distance = jnp.where(
-        (jnp.abs(denom) > 0)[:, None], planar_distance, 1e4
-    )
-
-    d1 = jnp.linalg.norm(pos[None, :, :] - p1[:, None, :], axis=-1)
-    d2 = jnp.linalg.norm(pos[None, :, :] - p2[:, None, :], axis=-1)
-    d3 = jnp.linalg.norm(pos[None, :, :] - p3[:, None, :], axis=-1)
-
-    exists3 = _pairwise_exists(table, pos, normal, idx3, tr_disc, rot_disc)
-    reject4 = (
-        (planar_distance > plane_threshold)
-        | (d1 < min_distance_base)
-        | (d2 < min_distance_base)
-        | (d3 < min_distance_base)
-        | ~exists3
-        | (arange_n == idx3[:, None])
-    )
-    probs = jnp.where(reject4, 0.0, probs)
+    probs = jnp.where(keep3, probs, 0.0)
 
     # ---- round 4
     idx4, ok4 = _categorical_rows(k4, probs)

@@ -46,6 +46,10 @@ class ScenePack:
     centroid: jax.Array     # [3]
     grid: NeighborGrid      # exact restricted-NN structure
     field: DenseField       # dense NN field (fast scoring path)
+    edge_free: jax.Array    # [H, W] bool — flood fill may enter (edge==255)
+    has_edge: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
     def count(self):
         return jnp.sum(self.valid.astype(jnp.int32))
@@ -143,7 +147,8 @@ def load_scene(
     rgb = imio.read_rgb(rgb_path)
     depth = imio.read_u16(depth_path)
     prob = imio.read_u16(class_prob_path)
-    if edge_path is not None and os.path.exists(edge_path):
+    has_edge = edge_path is not None and os.path.exists(edge_path)
+    if has_edge:
         edge = imio.read_u8(edge_path)
     else:
         edge = np.zeros(depth.shape, np.uint8)
@@ -166,4 +171,6 @@ def load_scene(
         pixel=out["pixel"], class_prob=out["class_prob"],
         edge_prob=out["edge_prob"], valid=out["valid"],
         centroid=out["centroid"], grid=grid, field=field,
+        edge_free=jnp.asarray(edge == 255),
+        has_edge=has_edge,
     )

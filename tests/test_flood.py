@@ -1,0 +1,69 @@
+"""Flood-fill segmentation vs a literal BFS re-derivation of the reference
+(src/rgbd.cpp:314-367)."""
+
+from collections import deque
+
+import numpy as np
+import jax.numpy as jnp
+
+from model_matching_tpu import flood
+
+
+def ref_bfs(seed, edge_free, max_dist):
+    """Literal queue-based transcription: seed always marked; neighbors
+    need free space, not-yet-expanded, and dist(seed) < max_dist."""
+    h, w = edge_free.shape
+    closed = np.zeros((h, w), bool)
+    q = deque([tuple(seed)])
+    closed[seed[0], seed[1]] = True
+    while q:
+        r, c = q.popleft()
+        for i in range(r - 1, r + 2):
+            for j in range(c - 1, c + 2):
+                if i < 0 or j < 0 or i >= h or j >= w:
+                    continue
+                d = np.sqrt((seed[0] - i) ** 2 + (seed[1] - j) ** 2)
+                if not closed[i, j] and edge_free[i, j] and d < max_dist:
+                    closed[i, j] = True
+                    q.append((i, j))
+    return closed
+
+
+def test_flood_fill_matches_bfs(rng):
+    h, w = 48, 64
+    edge_free = np.ones((h, w), bool)
+    # draw walls
+    edge_free[20, 5:40] = False
+    edge_free[5:20, 30] = False
+    edge_free[rng.integers(0, h, 40), rng.integers(0, w, 40)] = False
+    seed = np.array([10, 10], np.int32)
+    edge_free[10, 10] = True
+
+    for max_dist in (8.0, 20.0, 100.0):
+        want = ref_bfs(seed, edge_free, max_dist)
+        got = np.asarray(
+            flood.flood_fill(
+                jnp.asarray(seed), jnp.asarray(edge_free), max_dist,
+                max_iters=128,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_flood_fill_blocked_seed():
+    edge_free = np.zeros((16, 16), bool)
+    got = np.asarray(
+        flood.flood_fill(
+            jnp.asarray(np.array([8, 8], np.int32)),
+            jnp.asarray(edge_free), 100.0, max_iters=32,
+        )
+    )
+    assert got[8, 8]  # seed always marked, like the reference
+    assert got.sum() == 1
+
+
+def test_prune_edge_points():
+    probs = jnp.asarray(np.array([0.5, 0.3, 0.2], np.float32))
+    edge = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
+    out = np.asarray(flood.prune_edge_points(probs, edge))
+    np.testing.assert_allclose(out, [0.5, 0.0, 0.2])

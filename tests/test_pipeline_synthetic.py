@@ -116,6 +116,8 @@ def setup():
         centroid=jnp.asarray(sc),
         grid=grid,
         field=field,
+        edge_free=jnp.ones((16, 16), bool),
+        has_edge=False,
     )
     return model, scene, cfg, gt, (mpos, spos_obj)
 
