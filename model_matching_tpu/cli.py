@@ -94,12 +94,18 @@ def cmd_stocs_single(argv):
     p.add_argument("--number-of-bases", type=int, default=None)
     p.add_argument("--no-coarse-to-fine", action="store_true",
                    help="score every hypothesis with the full model")
+    p.add_argument("--no-refine", action="store_true",
+                   help="skip the point-to-plane ICP polish of the winner")
+    p.add_argument("--cluster", action="store_true",
+                   help="also write clustered_poses_<object>.txt")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset).match
     if args.number_of_bases is not None:
         cfg = dataclasses.replace(cfg, number_of_bases=args.number_of_bases)
-    cfg = dataclasses.replace(cfg, seed=args.seed)
+    cfg = dataclasses.replace(
+        cfg, seed=args.seed, refine_best_pose=not args.no_refine
+    )
 
     _src_root, model_root = _model_dirs(args, args.object)
     model_ply = os.path.join(model_root, "model_search.ply")
@@ -181,13 +187,40 @@ def cmd_stocs_single(argv):
     else:
         print("no pose found")
 
+    if args.cluster and result.best_index >= 0:
+        ctrs, clcp = est.cluster_poses(result)
+        cpath = os.path.join(scene_out, f"clustered_poses_{args.object}.txt")
+        with open(cpath, "w") as f:
+            for t, s in zip(ctrs, clcp):
+                row = " ".join(
+                    f"{t[i, j]:g}" for i in range(3) for j in range(4)
+                )
+                f.write(f"{row} {s:g}\n")
+        print(f"wrote {cpath} ({len(ctrs)} clusters)")
+
     for phase, secs in result.timings.items():
         print(f"  {phase}: {secs*1e3:.1f} ms")
     print(f"  hypotheses/sec: {result.stats['hypotheses_per_sec']:.3g}")
     return 0
 
 
+def _enable_compilation_cache():
+    """Persist XLA compilations across processes (first TPU compile through
+    the tunnel is slow; production runs shouldn't pay it twice)."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("MM_TPU_CACHE", "/tmp/mm_tpu_xla_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)

@@ -132,6 +132,22 @@ class MatchConfig:
     # distance check — a superset of the reference's matches).
     congruent_cos_tolerance: float = 0.3
 
+    # ICP refinement (reference library capability, pose_clustering.cpp:123-140:
+    # 5 iterations, 0.035 max correspondence distance; its CLI never calls it,
+    # ours refines the winning pose by default — strictly improves ADD-S).
+    icp_iterations: int = 5
+    icp_max_corr_dist: float = 0.035
+    refine_best_pose: bool = True
+
+    # Greedy clustering defaults (greedy_clustering args,
+    # pose_clustering.hpp:10-18; the reference CLI never calls it either).
+    cluster_acceptable_fraction: float = 0.7
+    cluster_max_pose_count: int = 8
+    cluster_min_distance: float = 0.02
+    cluster_min_angle: float = 15.0
+    # Per-axis symmetry (0 | 90 | 180 | 360 degrees).
+    cluster_symmetry: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
     # Scene normal estimator. "cloud_pca" (default): radius-PCA over the
     # voxel-downsampled cloud (radius = scene_normal_radius_factor * voxel),
     # markedly more coherent than image-window gradients on real depth noise.

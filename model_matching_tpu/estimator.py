@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import congruent, instance, sampling, scoring
+from . import clustering, congruent, icp, instance, sampling, scoring
 from .config import MatchConfig
 from .model import ModelPack
 from .ops import fit as fit_ops
@@ -134,6 +134,25 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
     return scores, idx, best
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_refine(best_t, model: ModelPack, scene: ScenePack, class_prob,
+                  cfg: MatchConfig):
+    refined = icp.refine_pose(
+        best_t, model.pos, model.valid,
+        scene.icp_grid, scene.pos, scene.normal,
+        max_corr_dist=cfg.icp_max_corr_dist,
+        iterations=cfg.icp_iterations,
+    )
+    new_lcp = scoring.score_transforms(
+        refined[None], jnp.ones(1, bool),
+        model.pos, model.normal, model.valid,
+        scene.grid, scene.pos, scene.normal, class_prob,
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+        model_count=jnp.sum(model.valid.astype(jnp.float32)),
+    )[0]
+    return refined, new_lcp
+
+
 class StocsEstimator:
     """One (model, scene) matching session. The class path (no edge map) is
     fully batched; the instance path threads flood-fill segments through a
@@ -225,6 +244,30 @@ class StocsEstimator:
             best_t = np.asarray(poses.transform[best_index])
             best_w = np.asarray(poses.world_transform[best_index])
 
+        # point-to-plane ICP polish of the winner (library capability of the
+        # reference, never called by its CLI; kept when it scores >= raw)
+        if best_index >= 0 and cfg.refine_best_pose:
+            t0 = time.perf_counter()
+            refined, new_lcp = _phase_refine(
+                jnp.asarray(best_t), self.model, self.scene,
+                self.class_prob, cfg,
+            )
+            refined = jax.block_until_ready(refined)
+            new_lcp = float(new_lcp)
+            timings["icp_refine"] = time.perf_counter() - t0
+            if new_lcp >= best_lcp:
+                best_t = np.asarray(refined)
+                # world = T(+scene_centroid) centered T(-model_centroid)
+                a = np.eye(4, dtype=np.float32)
+                a[:3, 3] = np.asarray(self.scene.centroid)
+                b = np.eye(4, dtype=np.float32)
+                b[:3, 3] = -np.asarray(self.model.centroid)
+                best_w = a @ best_t @ b
+                best_lcp = new_lcp
+                if verbose:
+                    print(f"icp refined score: {best_lcp}")
+
+        self.last_poses = poses
         hyps_per_sec = (
             n_hyp / timings["scoring"] if timings["scoring"] > 0 else 0.0
         )
@@ -242,4 +285,28 @@ class StocsEstimator:
                 "congruent_total": int(jnp.sum(sets.total_found)),
                 "pair_count_max": int(jnp.max(sets.pair_counts)),
             },
+        )
+
+    def cluster_poses(self, result: StocsResult):
+        """Symmetry-aware greedy clustering of the scored hypothesis set
+        (the reference's L4 library capability, pose_clustering.cpp:79-121).
+        Returns (world_transforms [K, 4, 4], lcp [K]) of the cluster
+        representatives."""
+        cfg = self.cfg
+        poses = result.poses
+        idx, mask = clustering.greedy_clustering(
+            poses.world_transform, poses.lcp, poses.valid,
+            cfg.cluster_acceptable_fraction,
+            jnp.float32(result.best_lcp),
+            cfg.cluster_max_pose_count,
+            cfg.cluster_min_distance,
+            cfg.cluster_min_angle,
+            jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
+        )
+        idx = np.asarray(idx)
+        mask = np.asarray(mask)
+        sel = idx[mask]
+        return (
+            np.asarray(poses.world_transform)[sel],
+            np.asarray(poses.lcp)[sel],
         )

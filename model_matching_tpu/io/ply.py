@@ -74,10 +74,23 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
     if fmt == "ascii":
         # Vertex element is always first in the files we handle; trailing
         # elements (faces) are ignored.
-        text = body.decode("ascii", "replace")
-        data = np.loadtxt(
-            _io.StringIO(text), dtype=np.float64, max_rows=count, ndmin=2
-        )
+        want = count * len(names)
+        data = None
+        try:
+            from .. import native
+
+            vals = native.parse_floats(body, want)
+            if vals is not None and vals.shape[0] >= want:
+                data = vals[:want].astype(np.float64).reshape(
+                    count, len(names)
+                )
+        except Exception:
+            data = None
+        if data is None:
+            text = body.decode("ascii", "replace")
+            data = np.loadtxt(
+                _io.StringIO(text), dtype=np.float64, max_rows=count, ndmin=2
+            )
         if data.shape[0] != count or data.shape[1] != len(names):
             raise ValueError(
                 f"expected {count}x{len(names)} ascii vertex table, got {data.shape}"

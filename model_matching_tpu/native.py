@@ -1,0 +1,95 @@
+"""ctypes bindings for the native host runtime (native/mm_native.cpp).
+
+Builds libmm_native.so on first use when a compiler is available; every
+entry point has a numpy fallback, so the pure-Python path always works.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libmm_native.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH):
+            src = os.path.join(_NATIVE_DIR, "mm_native.cpp")
+            if os.path.exists(src) and os.environ.get("MM_NO_NATIVE") != "1":
+                try:
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR, "libmm_native.so"],
+                        check=True, capture_output=True, timeout=120,
+                    )
+                except Exception:
+                    return None
+        if not os.path.exists(_SO_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        lib.mm_ppf_pair_keys.restype = ctypes.c_float
+        lib.mm_ppf_pair_keys.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.mm_parse_floats.restype = ctypes.c_long
+        lib.mm_parse_floats.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def ppf_pair_keys(pos: np.ndarray, normal: np.ndarray, tr: int, rot: int):
+    """Packed exact-bin keys [M, M] int32 (-1 on the diagonal / out of
+    range) + max pairwise distance. Threaded C++ when available."""
+    lib = _load()
+    m = pos.shape[0]
+    if lib is None:
+        return None  # caller falls back to the numpy path
+    pos = np.ascontiguousarray(pos, np.float32)
+    normal = np.ascontiguousarray(normal, np.float32)
+    keys = np.empty((m, m), np.int32)
+    maxd = lib.mm_ppf_pair_keys(
+        pos.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        normal.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        m, tr, rot,
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return keys, float(maxd)
+
+
+def parse_floats(data: bytes, max_count: int) -> Optional[np.ndarray]:
+    """Bulk-parse whitespace-separated floats (ascii PLY bodies)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(max_count, np.float32)
+    n = lib.mm_parse_floats(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_count,
+    )
+    return out[:n]

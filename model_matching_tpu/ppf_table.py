@@ -239,12 +239,20 @@ def build_ppf_table(
     pos = np.asarray(pos, dtype=np.float32)
     normal = np.asarray(normal, dtype=np.float32)
 
-    all_keys = np.empty((m, m), dtype=np.int32)
-    max_distance = 0.0
-    for i0, bins, d in _features_chunked(pos, normal, tr_disc, rot_disc):
-        all_keys[i0 : i0 + bins.shape[0]] = pack_exact_np(bins, tr_disc, rot_disc)
-        if d.size:
-            max_distance = max(max_distance, float(d.max()))
+    from . import native
+
+    native_out = native.ppf_pair_keys(pos, normal, tr_disc, rot_disc)
+    if native_out is not None:
+        all_keys, max_distance = native_out
+    else:
+        all_keys = np.empty((m, m), dtype=np.int32)
+        max_distance = 0.0
+        for i0, bins, d in _features_chunked(pos, normal, tr_disc, rot_disc):
+            all_keys[i0 : i0 + bins.shape[0]] = pack_exact_np(
+                bins, tr_disc, rot_disc
+            )
+            if d.size:
+                max_distance = max(max_distance, float(d.max()))
 
     ii, jj = np.meshgrid(
         np.arange(m, dtype=np.int32), np.arange(m, dtype=np.int32), indexing="ij"

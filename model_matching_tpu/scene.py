@@ -44,8 +44,9 @@ class ScenePack:
     edge_prob: jax.Array    # [P]
     valid: jax.Array        # [P]
     centroid: jax.Array     # [3]
-    grid: NeighborGrid      # exact restricted-NN structure
+    grid: NeighborGrid      # exact restricted-NN structure (cell = eps)
     field: DenseField       # dense NN field (fast scoring path)
+    icp_grid: NeighborGrid  # wider NN structure for ICP correspondences
     edge_free: jax.Array    # [H, W] bool — flood fill may enter (edge==255)
     has_edge: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
@@ -166,11 +167,14 @@ def load_scene(
         host_pos[host_valid], np.asarray(out["normal"])[host_valid],
         cfg.distance_threshold,
     )
+    icp_grid = build_neighbor_grid(
+        host_pos[host_valid], cell_size=cfg.icp_max_corr_dist, cell_cap=512
+    )
     return ScenePack(
         pos=out["pos"], normal=out["normal"], rgb=out["rgb"],
         pixel=out["pixel"], class_prob=out["class_prob"],
         edge_prob=out["edge_prob"], valid=out["valid"],
-        centroid=out["centroid"], grid=grid, field=field,
+        centroid=out["centroid"], grid=grid, field=field, icp_grid=icp_grid,
         edge_free=jnp.asarray(edge == 255),
         has_edge=has_edge,
     )

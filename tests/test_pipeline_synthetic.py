@@ -104,6 +104,9 @@ def setup():
     centered = spos - sc
     grid = build_neighbor_grid(centered, cell_size=cfg.distance_threshold)
     field = build_dense_field(centered, snrm, cfg.distance_threshold)
+    icp_grid = build_neighbor_grid(
+        centered, cell_size=cfg.icp_max_corr_dist, cell_cap=512
+    )
     nscene = len(spos)
     scene = ScenePack(
         pos=pad(centered, cfg.max_scene_points),
@@ -116,6 +119,7 @@ def setup():
         centroid=jnp.asarray(sc),
         grid=grid,
         field=field,
+        icp_grid=icp_grid,
         edge_free=jnp.ones((16, 16), bool),
         has_edge=False,
     )
