@@ -151,11 +151,22 @@ def extract_congruent_sets(
 
         total = jnp.sum(match.astype(jnp.int32))
 
-        # keyed random top-k subsample of the matches
-        rand = jax.random.uniform(bkey, match.shape, minval=0.0, maxval=1.0)
-        score = jnp.where(match, rand, -1.0).reshape(-1)
-        top, flat_idx = jax.lax.top_k(score, k_cap)
+        # keyed random subsample to k_cap. A full top_k over the [P, Q]
+        # matrix is slow on TPU, so first reduce each 64-element segment to
+        # its best random-keyed match (vectorized reductions), then top_k
+        # over the 64x-smaller segment array. At most one match per segment
+        # survives — an acceptable thinning of the reference's uniform
+        # random subsample (stocs_match_one_object.cpp:126-143): when
+        # matches are sparse segments rarely hold two, and when dense the
+        # subsample is random anyway.
+        seg = 64
+        rand = jax.random.uniform(bkey, match.shape)
+        keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
+        seg_best = jnp.max(keyed, axis=1)          # [P*Q/seg]
+        seg_arg = jnp.argmax(keyed, axis=1).astype(jnp.int32)
+        top, seg_idx = jax.lax.top_k(seg_best, k_cap)
         quad_valid = top >= 0.0
+        flat_idx = seg_idx * seg + seg_arg[seg_idx]
         pi = flat_idx // p_cap
         qi = flat_idx % p_cap
         quads = jnp.stack(
