@@ -98,6 +98,8 @@ def cmd_stocs_single(argv):
                    help="skip the point-to-plane ICP polish of the winner")
     p.add_argument("--cluster", action="store_true",
                    help="also write clustered_poses_<object>.txt")
+    p.add_argument("--heatmap", action="store_true",
+                   help="write probability heatmap + pose overlay PNGs")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset).match
@@ -187,6 +189,25 @@ def cmd_stocs_single(argv):
     else:
         print("no pose found")
 
+    if args.heatmap:
+        from . import viz
+
+        pix = np.asarray(scene.pixel)[live]
+        viz.visualize_heatmap(
+            pix, np.asarray(est.class_prob)[live], [],
+            os.path.join(dbg, "probability_heatmap.png"),
+            cfg.image_width, cfg.image_height,
+        )
+        if result.best_index >= 0:
+            mp = np.asarray(model.pos)[np.asarray(model.valid)] + np.asarray(
+                model.centroid
+            )
+            viz.overlay_pose(
+                os.path.join(args.scene_path, "rgb.png"), mp,
+                result.best_world_transform, *cfg.camera.as_tuple(),
+                os.path.join(dbg, f"overlay_{args.object}.png"),
+            )
+
     if args.cluster and result.best_index >= 0:
         ctrs, clcp = est.cluster_poses(result)
         cpath = os.path.join(scene_out, f"clustered_poses_{args.object}.txt")
@@ -219,6 +240,39 @@ def _enable_compilation_cache():
         pass
 
 
+def cmd_stocs_batch(argv):
+    """Match several objects against one scene in a single process: every
+    phase is one jitted device program whose shapes are object-independent,
+    so objects after the first reuse the compiled executables (the batched
+    multi-object configuration of BASELINE.json; the reference runs one
+    object per process, src/stocs_match_one_object.cpp:188-214)."""
+    import time as _time
+
+    p = argparse.ArgumentParser(prog="stocs-batch")
+    p.add_argument("scene_path")
+    p.add_argument("objects", help="comma-separated object names")
+    _add_common(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--number-of-bases", type=int, default=None)
+    args = p.parse_args(argv)
+
+    objects = [o for o in args.objects.split(",") if o]
+    results = {}
+    for i, obj in enumerate(objects):
+        t0 = _time.perf_counter()
+        sub = [args.scene_path, obj, "--preset", args.preset,
+               "--repo-path", args.repo_path, "--seed", str(args.seed)]
+        if args.output_root:
+            sub += ["--output-root", args.output_root]
+        if args.number_of_bases is not None:
+            sub += ["--number-of-bases", str(args.number_of_bases)]
+        cmd_stocs_single(sub)
+        results[obj] = _time.perf_counter() - t0
+        print(f"[batch] {obj}: {results[obj]:.1f}s"
+              + (" (includes compile)" if i == 0 else " (cached programs)"))
+    return 0
+
+
 def main(argv=None):
     _enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
@@ -230,7 +284,12 @@ def main(argv=None):
         return cmd_model_preprocess(rest)
     if cmd == "stocs-single":
         return cmd_stocs_single(rest)
-    print(f"unknown command {cmd!r}; use model-preprocess or stocs-single")
+    if cmd == "stocs-batch":
+        return cmd_stocs_batch(rest)
+    print(
+        f"unknown command {cmd!r}; use model-preprocess, stocs-single or "
+        "stocs-batch"
+    )
     return 2
 
 

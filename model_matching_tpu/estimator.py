@@ -59,10 +59,12 @@ def _phase_sample(key, table, pos, normal, prior, valid, cfg: MatchConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_bases"))
 def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
                            cfg: MatchConfig, num_bases: int):
-    return instance.sample_instance_bases(
+    # host-driven stepping: compiles one per-base program instead of the
+    # whole scan (whose nested flood-fill while_loop compiles pathologically
+    # slowly on real TPU backends)
+    return instance.sample_instance_bases_stepwise(
         key, table, scene.pos, scene.normal, class_prob,
         scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
         num_bases=num_bases,

@@ -37,27 +37,14 @@ class InstanceSamples(NamedTuple):
     seg_masks: jax.Array    # [B+1, H, W] bool — per-base segments (0 unused)
 
 
-def sample_instance_bases(
-    key: jax.Array,
-    table: PPFTable,
-    pos: jax.Array,          # [N, 3] centered scene positions
-    normal: jax.Array,       # [N, 3]
-    class_prob0: jax.Array,  # [N] initial class probabilities
-    edge_prob: jax.Array,    # [N] per-point edge probability
-    pixel: jax.Array,        # [N, 2] (row, col) source pixels
-    valid: jax.Array,        # [N]
-    edge_free: jax.Array,    # [H, W] bool — flood fill may enter
-    num_bases: int,
-    dispersion: float,
-    tr_disc: int,
-    rot_disc: int,
-    plane_threshold: float,
-    min_distance_base: float,
-    internal_angle_threshold: float,
-    flood_max_iters: int = 512,
-) -> InstanceSamples:
+def _make_base_step(
+    table, pos, normal, edge_prob, pixel, valid, edge_free,
+    dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
+    internal_angle_threshold, flood_max_iters,
+):
+    """One base-sampling step as a self-contained scan body (also used by
+    the host-driven stepper below)."""
     n = pos.shape[0]
-    h, w = edge_free.shape
     arange_n = jnp.arange(n, dtype=jnp.int32)
 
     def one_base(carry, inp):
@@ -92,8 +79,9 @@ def sample_instance_bases(
         )
         max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0))
 
-        # segmentation mask: reuse a cached segment if the seed pixel was
-        # claimed by an earlier base (rgbd.cpp:326-331), else flood fill
+        # segmentation mask: reuse the cached segment if the seed pixel was
+        # claimed by an earlier base (the reference reloads that base's
+        # seg_mask_<n>.png, rgbd.cpp:326-331), else flood fill
         cached_id = seg_buffer[seed_rc[0], seed_rc[1]]
 
         def reuse(_):
@@ -134,6 +122,90 @@ def sample_instance_bases(
         out = (raw, ok1 & ok2 & ok3 & ok4)
         return (class_prob, prev_segment, seg_buffer, masks), out
 
+    return one_base
+
+
+def sample_instance_bases_stepwise(
+    key: jax.Array,
+    table: PPFTable,
+    pos, normal, class_prob0, edge_prob, pixel, valid, edge_free,
+    num_bases: int,
+    dispersion: float,
+    tr_disc: int,
+    rot_disc: int,
+    plane_threshold: float,
+    min_distance_base: float,
+    internal_angle_threshold: float,
+    flood_max_iters: int = 512,
+) -> InstanceSamples:
+    """Host-driven variant: one jitted per-base step dispatched B times.
+
+    Compiling the whole lax.scan (nested flood-fill while_loop, [B, H, W]
+    mask cache in the carry) is pathologically slow on real TPU backends;
+    stepping from the host compiles one small program and pays only B
+    dispatches. Semantics identical to sample_instance_bases."""
+    h, w = edge_free.shape
+    step = _make_base_step(
+        table, pos, normal, edge_prob, pixel, valid, edge_free,
+        dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
+        internal_angle_threshold, flood_max_iters,
+    )
+    # donate the carry so the [B+1, H, W] mask cache updates in place
+    step = jax.jit(step, donate_argnums=(0,))
+
+    carry = (
+        class_prob0,
+        jnp.zeros((h, w), bool),
+        jnp.zeros((h, w), jnp.int32),
+        jnp.zeros((num_bases + 1, h, w), bool),
+    )
+    keys = jax.random.split(key, num_bases)
+    raws, oks = [], []
+    for i in range(num_bases):
+        carry, (raw, ok) = step(carry, (jnp.int32(i + 1), keys[i]))
+        raws.append(raw)
+        oks.append(ok)
+    class_prob = carry[0]
+    masks = carry[3]
+    raws = jnp.stack(raws)
+    oks = jnp.stack(oks)
+
+    from .ops import invariants
+
+    base_pos = pos[raws]
+    perm, inv1, inv2, _d = invariants.reorder_base(base_pos)
+    reordered = jnp.take_along_axis(raws, perm, axis=-1)
+    return InstanceSamples(
+        indices=reordered, invariant1=inv1, invariant2=inv2, valid=oks,
+        class_prob=class_prob, seg_masks=masks,
+    )
+
+
+def sample_instance_bases(
+    key: jax.Array,
+    table: PPFTable,
+    pos: jax.Array,          # [N, 3] centered scene positions
+    normal: jax.Array,       # [N, 3]
+    class_prob0: jax.Array,  # [N] initial class probabilities
+    edge_prob: jax.Array,    # [N] per-point edge probability
+    pixel: jax.Array,        # [N, 2] (row, col) source pixels
+    valid: jax.Array,        # [N]
+    edge_free: jax.Array,    # [H, W] bool — flood fill may enter
+    num_bases: int,
+    dispersion: float,
+    tr_disc: int,
+    rot_disc: int,
+    plane_threshold: float,
+    min_distance_base: float,
+    internal_angle_threshold: float,
+    flood_max_iters: int = 512,
+) -> InstanceSamples:
+    h, w = edge_free.shape
+    one_base = _make_base_step(
+        table, pos, normal, edge_prob, pixel, valid, edge_free,
+        dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
+        internal_angle_threshold, flood_max_iters,
+    )
     keys = jax.random.split(key, num_bases)
     base_nums = jnp.arange(1, num_bases + 1, dtype=jnp.int32)
     carry0 = (

@@ -1,0 +1,86 @@
+"""End-to-end regression on the bundled YCB fixture: preprocess + match via
+the library API (small budget to stay CI-friendly). Asserts pose sanity via
+image-space overlap with the probability region — robust to RNG/backend
+drift, unlike bitwise golden files (the reference itself is wall-clock
+seeded and irreproducible)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def bowl_artifacts(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference fixtures not present")
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.preprocess import preprocess_model
+
+    out = tmp_path_factory.mktemp("bowl")
+    pre = get_preset("ycb").preprocess
+    n, maxd = preprocess_model(
+        f"{REF}/models/024_bowl/textured_vertices.ply",
+        str(out / "model_search.ply"),
+        str(out / "ppf_table.npz"),
+        pre, verbose=False,
+    )
+    assert 300 < n < 1500
+    assert 0.1 < maxd < 0.3  # bowl is ~16 cm across
+    return out
+
+
+def test_ycb_bowl_end_to_end(bowl_artifacts):
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.estimator import StocsEstimator
+    from model_matching_tpu.io import image
+    from model_matching_tpu.model import load_model_pack
+    from model_matching_tpu.scene import load_scene
+
+    cfg = dataclasses.replace(
+        get_preset("ycb").match,
+        number_of_bases=32,
+        maximum_congruent_sets=128,
+    )
+    model = load_model_pack(
+        str(bowl_artifacts / "model_search.ply"),
+        str(bowl_artifacts / "ppf_table.npz"),
+        cfg.max_model_points,
+    )
+    scene = load_scene(
+        f"{REF}/examples/ycb/rgb.png",
+        f"{REF}/examples/ycb/depth.png",
+        f"{REF}/examples/ycb/probability_maps/024_bowl.png",
+        None, cfg,
+    )
+    assert 8000 < int(scene.count()) < cfg.max_scene_points
+
+    result = StocsEstimator(model, scene, cfg).run(verbose=False)
+    assert result.num_bases >= 12
+    assert result.best_index >= 0
+    assert result.best_lcp > 0.02
+
+    # pose sanity: the projected model must land inside the object's
+    # probability support
+    t = result.best_world_transform
+    mpos = np.asarray(model.pos)[np.asarray(model.valid)] + np.asarray(
+        model.centroid
+    )
+    moved = mpos @ t[:3, :3].T + t[:3, 3]
+    fx, cx, fy, cy = cfg.camera.as_tuple()
+    col = (moved[:, 0] * fx / moved[:, 2] + cx).astype(int)
+    row = (moved[:, 1] * fy / moved[:, 2] + cy).astype(int)
+    prob = image.read_u16(
+        f"{REF}/examples/ycb/probability_maps/024_bowl.png"
+    ).astype(np.float32) / 10000.0
+    ok = (row >= 0) & (row < 480) & (col >= 0) & (col < 640)
+    assert ok.mean() > 0.95
+    inside = prob[row[ok], col[ok]]
+    assert (inside > 0.1).mean() > 0.8, (
+        f"pose projects outside the object region "
+        f"(overlap {(inside > 0.1).mean():.2f}, lcp {result.best_lcp:.3f})"
+    )
