@@ -100,6 +100,11 @@ def cmd_stocs_single(argv):
                    help="also write clustered_poses_<object>.txt")
     p.add_argument("--heatmap", action="store_true",
                    help="write probability heatmap + pose overlay PNGs")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
+    p.add_argument("--sweep", type=int, default=None, metavar="TOTAL_BASES",
+                   help="large hypothesis sweep: process TOTAL_BASES class "
+                        "bases in chunks and cluster the pooled winners")
     args = p.parse_args(argv)
 
     cfg = get_preset(args.preset).match
@@ -150,7 +155,32 @@ def cmd_stocs_single(argv):
     print(f"############# RUNNING STOCS for Scene: {args.scene_path}, "
           f"Object: {args.object} ##############")
     est = StocsEstimator(model, scene, cfg)
-    result = est.run(coarse_to_fine=not args.no_coarse_to_fine)
+
+    if args.sweep:
+        best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(args.sweep)
+        out_file = os.path.join(
+            scene_out, f"best_pose_candidate_{args.object}.txt"
+        )
+        os.makedirs(scene_out, exist_ok=True)
+        with open(out_file, "w") as f:
+            f.write(" ".join(
+                f"{best_w[i, j]:g}" for i in range(3) for j in range(4)
+            ) + "\n")
+        print(f"wrote {out_file} (sweep best lcp {best_lcp:.4f})")
+        return 0
+
+    profile_ctx = None
+    if args.profile:
+        import jax as _jax
+
+        profile_ctx = _jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+    try:
+        result = est.run(coarse_to_fine=not args.no_coarse_to_fine)
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            print(f"profiler trace written to {args.profile}")
 
     if est.seg_masks is not None:
         # seg_mask_<n>.png debug artifacts (reference: stocs.cpp:625)

@@ -289,6 +289,82 @@ class StocsEstimator:
             },
         )
 
+    def run_sweep(self, total_bases: int, chunk: int = 1024,
+                  keep_per_chunk: int = 256, seed: Optional[int] = None,
+                  verbose: bool = True):
+        """Large hypothesis sweep (BASELINE config 5): process `total_bases`
+        class-path bases in fixed-size chunks through the same jitted phases
+        (compiled once), keep the top `keep_per_chunk` scored poses of each
+        chunk, and greedily cluster the pool at the end. Single-chip variant
+        of parallel.sharding.matching_step_sharded's per-device loop.
+
+        Returns (best_lcp, best_world_transform, clustered_transforms,
+        clustered_lcp, stats)."""
+        cfg = dataclasses.replace(self.cfg, number_of_bases=chunk)
+        key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        n_chunks = -(-total_bases // chunk)
+
+        pool_t, pool_w, pool_s = [], [], []
+        t_start = time.perf_counter()
+        n_hyp_total = 0
+        for ci in range(n_chunks):
+            key = jax.random.fold_in(key0, ci)
+            k_sample, k_cong = jax.random.split(key)
+            bases = _phase_sample(
+                k_sample, self.model.table, self.scene.pos, self.scene.normal,
+                self.class_prob, self.scene.valid, cfg, chunk,
+            )
+            sets = _phase_congruent(
+                k_cong, self.model.table, self.model.pos, self.scene.pos,
+                self.scene.normal, bases, cfg,
+            )
+            poses = _phase_fit(
+                self.scene.pos, self.model.pos, self.scene.centroid,
+                self.model.centroid, bases, sets,
+            )
+            scores, _i, _b = _phase_score(
+                poses, self.model, self.scene, self.class_prob, cfg, True
+            )
+            top, idx = jax.lax.top_k(scores, keep_per_chunk)
+            pool_s.append(top)
+            pool_t.append(poses.transform[idx])
+            pool_w.append(poses.world_transform[idx])
+            n_hyp_total += int(jnp.sum(poses.valid))
+        pool_s = jnp.concatenate(pool_s)
+        pool_t = jnp.concatenate(pool_t)
+        pool_w = jnp.concatenate(pool_w)
+        elapsed = time.perf_counter() - t_start
+
+        best_i = int(jnp.argmax(pool_s))
+        best_lcp = float(pool_s[best_i])
+        best_w = np.asarray(pool_w[best_i])
+
+        cidx, cmask = clustering.greedy_clustering(
+            pool_w, pool_s, pool_s > 0,
+            cfg.cluster_acceptable_fraction, jnp.float32(best_lcp),
+            cfg.cluster_max_pose_count, cfg.cluster_min_distance,
+            cfg.cluster_min_angle,
+            jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
+        )
+        sel = np.asarray(cidx)[np.asarray(cmask)]
+        stats = {
+            "total_bases": total_bases,
+            "hypotheses": n_hyp_total,
+            "seconds": elapsed,
+            "bases_per_sec": total_bases / elapsed,
+            "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
+        }
+        if verbose:
+            print(
+                f"sweep: {total_bases} bases -> {n_hyp_total} hypotheses in "
+                f"{elapsed:.1f}s ({stats['bases_per_sec']:.0f} bases/s), "
+                f"best lcp {best_lcp:.3f}, {len(sel)} clusters"
+            )
+        return (
+            best_lcp, best_w,
+            np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+        )
+
     def cluster_poses(self, result: StocsResult):
         """Symmetry-aware greedy clustering of the scored hypothesis set
         (the reference's L4 library capability, pose_clustering.cpp:79-121).

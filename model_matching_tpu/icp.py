@@ -82,6 +82,48 @@ def point_to_plane_icp(
     )
 
 
+@partial(jax.jit, static_argnames=("iterations",))
+def trimmed_icp(
+    source_pos: jax.Array,
+    source_valid: jax.Array,
+    target_pos: jax.Array,
+    target_normal: jax.Array,
+    grid: NeighborGrid,
+    max_corr_dist: float = 0.035,
+    iterations: int = 5,
+    trim_fraction: float = 0.8,
+):
+    """Trimmed point-to-plane ICP: each iteration keeps only the best
+    trim_fraction of correspondences by absolute residual, making the fit
+    robust to partial overlap. The reference *declares* trimmed_icp but
+    never defines it (pose_clustering.hpp:24-28); this supplies the missing
+    capability."""
+
+    def step(_, offset):
+        moved = source_pos @ offset[:3, :3].T + offset[:3, 3]
+        idx, _d2 = query_restricted_nn(grid, moved, target_pos, max_corr_dist)
+        found = (idx >= 0) & source_valid
+        safe = jnp.maximum(idx, 0)
+        tgt = target_pos[safe]
+        nrm = target_normal[safe]
+        res = jnp.abs(jnp.sum((tgt - moved) * nrm, axis=-1))
+        res = jnp.where(found, res, jnp.inf)
+        n_keep = jnp.maximum(
+            (jnp.sum(found) * trim_fraction).astype(jnp.int32), 6
+        )
+        # residual threshold = n_keep-th smallest
+        order = jnp.sort(res)
+        thresh = order[jnp.minimum(n_keep, res.shape[0] - 1)]
+        w = (found & (res <= thresh)).astype(moved.dtype)
+        inc = _solve_point_to_plane(moved, tgt, nrm, w)
+        inc = jnp.where(jnp.sum(w) >= 6, inc, jnp.eye(4, dtype=moved.dtype))
+        return inc @ offset
+
+    return jax.lax.fori_loop(
+        0, iterations, step, jnp.eye(4, dtype=source_pos.dtype)
+    )
+
+
 def refine_pose(
     pose: jax.Array,           # [4, 4] centered-frame model->scene
     model_pos: jax.Array,      # [M, 3]

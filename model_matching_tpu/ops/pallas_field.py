@@ -13,6 +13,14 @@ queries of one hypothesis lie inside a model-diameter box. Per grid step it
 
 The box edge C = ceil(model_diameter / cell) + 3 is static per model. When
 the box would not fit VMEM the caller falls back to the XLA path.
+
+STATUS: correct (bit-identical to the XLA scorer) under interpret mode and
+covered by tests/test_pallas_field.py, but NOT the production path: step 3's
+VMEM gather needs tpu.dynamic_gather, whose Mosaic lowering crashes the
+compiler on the available v5e toolchain (remote_compile HTTP 500 even for
+minimal take_along_axis kernels). The XLA three-stage ladder in scoring.py
+is the production scorer (>2x the 1e5 hyp/s north star); this kernel is the
+ready design for when the toolchain supports dynamic_gather.
 """
 
 from __future__ import annotations
@@ -125,7 +133,7 @@ def score_field_pallas(
     model_valid,    # [M]
     field_rows,     # [G, 8] (flattened) or [Gx, Gy, Gz, 8]
     origin,         # [3]
-    dims,           # [3] i32
+    grid_dims,      # static (Gx, Gy, Gz) python ints
     cell,           # scalar
     scene_prob,     # [S]
     distance_threshold: float,
@@ -135,7 +143,7 @@ def score_field_pallas(
     interpret: bool = False,
 ):
     h = transforms.shape[0]
-    gx, gy, gz = int(dims[0]), int(dims[1]), int(dims[2])
+    gx, gy, gz = (int(d) for d in grid_dims)
     field4 = field_rows.reshape(gx, gy, gz, 8)
     c = min(box_cells, gx, gy, gz)
 
@@ -151,9 +159,7 @@ def score_field_pallas(
          jnp.float32(distance_threshold) ** 2,
          cos_gate.astype(jnp.float32), mcount, jnp.float32(0)]
     )
-    dims4 = jnp.concatenate(
-        [dims.astype(jnp.int32), jnp.zeros(1, jnp.int32)]
-    )
+    dims4 = jnp.asarray([gx, gy, gz, 0], dtype=jnp.int32)
 
     kernel = functools.partial(_kernel, box_c=c, ht=hyp_tile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
