@@ -47,7 +47,7 @@ class StocsResult:
 
 @partial(jax.jit, static_argnames=("cfg", "num_bases"))
 def _phase_sample(key, table, pos, normal, prior, valid, cfg: MatchConfig,
-                  num_bases: int):
+                  num_bases: int, exists_bits=None):
     return sampling.sample_class_bases(
         key, table, pos, normal, prior, valid,
         num_bases=num_bases,
@@ -56,7 +56,13 @@ def _phase_sample(key, table, pos, normal, prior, valid, cfg: MatchConfig,
         plane_threshold=cfg.plane_threshold,
         min_distance_base=cfg.min_distance_base,
         internal_angle_threshold=cfg.internal_angle_threshold,
+        exists_bits=exists_bits,
     )
+
+
+@partial(jax.jit, static_argnames=("tr", "rot"))
+def _build_exists_bits(table, pos, normal, tr, rot):
+    return sampling.build_exists_bits(table, pos, normal, tr, rot)
 
 
 def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
@@ -170,6 +176,20 @@ class StocsEstimator:
         # point3d.hpp:54-56, stocs.cpp:1033)
         self.class_prob = scene.class_prob
         self.seg_masks = None
+        self._exists_bits = None
+
+    def exists_bits(self):
+        """Lazily build the bit-packed pair-existence matrix; pays one
+        O(N^2) pass, then every sampling round's PPF mask is a row gather.
+        Worth it from a few hundred bases upward (always used by
+        run_sweep)."""
+        if self._exists_bits is None:
+            self._exists_bits = _build_exists_bits(
+                self.model.table, self.scene.pos, self.scene.normal,
+                self.cfg.ppf_tr_discretization,
+                self.cfg.ppf_rot_discretization,
+            )
+        return self._exists_bits
 
     def run(self, seed: Optional[int] = None, coarse_to_fine: bool = True,
             verbose: bool = True) -> StocsResult:
@@ -193,9 +213,13 @@ class StocsEstimator:
             self.class_prob = inst.class_prob
             self.seg_masks = inst.seg_masks
         else:
+            bits = (
+                self.exists_bits() if cfg.number_of_bases >= 512 else None
+            )
             bases = _phase_sample(
                 k_sample, self.model.table, self.scene.pos, self.scene.normal,
                 self.class_prob, self.scene.valid, cfg, cfg.number_of_bases,
+                bits,
             )
             bases = jax.block_until_ready(bases)
         timings["sample_bases"] = time.perf_counter() - t0
@@ -306,13 +330,14 @@ class StocsEstimator:
 
         pool_t, pool_w, pool_s = [], [], []
         t_start = time.perf_counter()
+        bits = self.exists_bits()
         n_hyp_total = 0
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
             bases = _phase_sample(
                 k_sample, self.model.table, self.scene.pos, self.scene.normal,
-                self.class_prob, self.scene.valid, cfg, chunk,
+                self.class_prob, self.scene.valid, cfg, chunk, bits,
             )
             sets = _phase_congruent(
                 k_cong, self.model.table, self.model.pos, self.scene.pos,

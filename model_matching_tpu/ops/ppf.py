@@ -88,6 +88,62 @@ def ppf_keys(p1, n1, p2, n2, tr_disc: int, rot_disc: int):
     return pack_key(ppf_bins(p1, n1, p2, n2, tr_disc, rot_disc), tr_disc, rot_disc)
 
 
+def _angle_bin_cos_thresholds(rot_disc: int):
+    """Boundaries for transcendental-free angle binning.
+
+    int(angle_deg) snapped to the closest multiple of disc (ties up, the
+    ppf_closest_bin rule) equals disc * m with
+    m = (floor(angle_deg) + disc//2) // disc, which increments exactly at
+    the integer angles disc*j - disc//2. Since angle = atan2(s, c) with
+    s >= 0 is monotone decreasing in cos(angle), m equals the number of
+    boundary cosines that cos(angle) falls at or below — no atan2 needed.
+    """
+    import numpy as np
+
+    lo = rot_disc // 2
+    bounds = np.arange(1, 180 // rot_disc + 2) * rot_disc - lo
+    bounds = bounds[bounds <= 180]
+    return np.cos(np.radians(bounds.astype(np.float64))).astype(np.float32)
+
+
+def angle_bin_index(cos_angle, rot_disc: int):
+    """Bin index m (bin value = m * rot_disc) of atan2-style angles in
+    [0, 180], computed from the cosine by threshold counting — no
+    transcendentals. Matches int(atan2)+ppf_closest_bin semantics except
+    within float rounding of the boundaries."""
+    th = jnp.asarray(_angle_bin_cos_thresholds(rot_disc))
+    return jnp.sum(
+        cos_angle[..., None] <= th, axis=-1
+    ).astype(jnp.int32)
+
+
+def ppf_keys_fast(p1, n1, p2, n2, tr_disc: int, rot_disc: int):
+    """Transcendental-free packed PPF keys: identical to ppf_keys up to
+    float boundary rounding (tested); ~5x cheaper on TPU where atan2
+    dominates the [B, N] sampling masks. Normals must be unit length."""
+    u = p1 - p2
+    d2 = jnp.sum(u * u, axis=-1)
+    d = jnp.sqrt(d2)
+    inv_d = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+
+    def cosang(n, denom_inv):
+        return jnp.clip(jnp.sum(n * u, axis=-1) * denom_inv, -1.0, 1.0)
+
+    c1 = cosang(n1, inv_d)
+    c2 = cosang(n2, inv_d)
+    c3 = jnp.clip(jnp.sum(n1 * n2, axis=-1), -1.0, 1.0)
+
+    v = (d * 1000.0).astype(jnp.int32)
+    lo = tr_disc // 2
+    q1 = (v + lo) // tr_disc
+    a1 = angle_bin_index(c1, rot_disc)
+    a2 = angle_bin_index(c2, rot_disc)
+    a3 = angle_bin_index(c3, rot_disc)
+    key = ((q1 * _ANGLE_RADIX + a1) * _ANGLE_RADIX + a2) * _ANGLE_RADIX + a3
+    invalid = (q1 * tr_disc) <= MIN_DISTANCE_BIN_MM
+    return jnp.where(invalid, -1, key).astype(jnp.int32)
+
+
 def fanout_deltas(tr_disc: int, rot_disc: int):
     """The 2x4x4x4 = 128 insertion fan-out offsets, in key-space units.
 

@@ -370,16 +370,25 @@ def probe_slots(table_keys: jax.Array, keys: jax.Array, max_probes: int):
     init_slot = jnp.full(keys.shape, -1, dtype=jnp.int32)
     init_done = keys < 0
 
-    def body(i, state):
-        slot, done = state
+    # while_loop with a global all-done test: the mean probe count is ~1.3
+    # at load 0.25, so nearly every batch stops after 2-3 sweeps instead of
+    # paying the worst-case bound every time
+    def cond(state):
+        i, _slot, done = state
+        return (i < max_probes) & ~jnp.all(done)
+
+    def body(state):
+        i, slot, done = state
         h = ((h0 + jnp.uint32(i)) & mask).astype(jnp.int32)
         k = table_keys[h]
         found = (k == keys) & ~done
         slot = jnp.where(found, h, slot)
         done = done | found | (k == -1)
-        return slot, done
+        return i + 1, slot, done
 
-    slot, _ = jax.lax.fori_loop(0, max_probes, body, (init_slot, init_done))
+    _, slot, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), init_slot, init_done)
+    )
     return slot
 
 

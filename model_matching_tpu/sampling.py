@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops import invariants
-from .ops.ppf import ppf_keys
+from .ops.ppf import ppf_keys_fast
 from .ppf_table import PPFTable, ppf_exists
 
 _RAD2DEG = 180.0 / jnp.pi
@@ -47,13 +47,24 @@ def _categorical_rows(key, probs):
     return idx.astype(jnp.int32), ok
 
 
-def _pairwise_exists(table: PPFTable, pos, normal, anchor_idx, tr, rot):
+def _pairwise_exists(table: PPFTable, pos, normal, anchor_idx, tr, rot,
+                     exists_bits=None):
     """[B, N] bool: does PPF(anchor_b -> i) exist in the model map. The
     anchor is point_1 of the feature, matching the reference's argument
-    order (stocs.cpp:396-401)."""
+    order (stocs.cpp:396-401).
+
+    With exists_bits (the precomputed bit-packed [N, N/32] pair-existence
+    matrix from build_exists_bits) the check is one contiguous row gather +
+    an elementwise unpack — orders of magnitude fewer gather descriptors
+    than per-element hash probing; used for large base budgets."""
+    if exists_bits is not None:
+        rows = exists_bits[anchor_idx]                    # [B, W] uint32
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        unpacked = (rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+        return unpacked.reshape(rows.shape[0], -1)[:, : pos.shape[0]] > 0
     a_pos = pos[anchor_idx]      # [B, 3]
     a_nrm = normal[anchor_idx]
-    keys = ppf_keys(
+    keys = ppf_keys_fast(
         a_pos[:, None, :], a_nrm[:, None, :],
         pos[None, :, :], normal[None, :, :],
         tr, rot,
@@ -61,8 +72,39 @@ def _pairwise_exists(table: PPFTable, pos, normal, anchor_idx, tr, rot):
     return ppf_exists(table, keys)
 
 
+def build_exists_bits(table: PPFTable, pos, normal, tr, rot,
+                      chunk: int = 256):
+    """Bit-packed [N, ceil(N/32)] uint32 matrix of PPF(i -> j) existence —
+    the O(N^2) precomputation that turns every sampling-round existence
+    mask into a row lookup. Built on device in row blocks."""
+    n = pos.shape[0]
+    assert n % chunk == 0 and n % 32 == 0
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+
+    def block(args):
+        bp, bn = args
+        keys = ppf_keys_fast(
+            bp[:, None, :], bn[:, None, :],
+            pos[None, :, :], normal[None, :, :], tr, rot,
+        )
+        ex = ppf_exists(table, keys)          # [chunk, n]
+        packed = jnp.sum(
+            ex.reshape(chunk, n // 32, 32).astype(jnp.uint32)
+            * weights[None, None, :],
+            axis=-1,
+            dtype=jnp.uint32,
+        )
+        return packed
+
+    blocks = jax.lax.map(
+        block,
+        (pos.reshape(-1, chunk, 3), normal.reshape(-1, chunk, 3)),
+    )
+    return blocks.reshape(n, n // 32)
+
+
 def round2_keep_mask(table, pos, normal, idx1, idx2, tr, rot,
-                     internal_angle_threshold):
+                     internal_angle_threshold, exists_bits=None):
     """[B, N] keep-mask after drawing point 2: PPF(b2 -> i) must exist, i is
     not b2, and the internal angle at b1 between (b2-b1) and (i-b1), folded
     to [0, 90], is >= the threshold (reference: src/stocs.cpp:417-442)."""
@@ -75,12 +117,12 @@ def round2_keep_mask(table, pos, normal, idx1, idx2, tr, rot,
     cosang = jnp.sum(v1[:, None, :] * v2, axis=-1)
     angle = jnp.arccos(jnp.clip(cosang, -1.0, 1.0)) * _RAD2DEG
     angle = jnp.minimum(angle, 180.0 - angle)
-    exists = _pairwise_exists(table, pos, normal, idx2, tr, rot)
+    exists = _pairwise_exists(table, pos, normal, idx2, tr, rot, exists_bits)
     return exists & (arange_n != idx2[:, None]) & ~(angle < internal_angle_threshold)
 
 
 def round3_keep_mask(table, pos, normal, idx1, idx2, idx3, tr, rot,
-                     plane_threshold, min_distance_base):
+                     plane_threshold, min_distance_base, exists_bits=None):
     """[B, N] keep-mask after drawing point 3: near-coplanar with the plane
     through b1-b3 (ax+by+cz=1 parametrization via Cramer's rule, matching
     the reference's explicit expansion, src/stocs.cpp:456-497), minimum
@@ -109,7 +151,7 @@ def round3_keep_mask(table, pos, normal, idx1, idx2, idx3, tr, rot,
     d1 = jnp.linalg.norm(pos[None, :, :] - p1[:, None, :], axis=-1)
     d2 = jnp.linalg.norm(pos[None, :, :] - p2[:, None, :], axis=-1)
     d3 = jnp.linalg.norm(pos[None, :, :] - p3[:, None, :], axis=-1)
-    exists = _pairwise_exists(table, pos, normal, idx3, tr, rot)
+    exists = _pairwise_exists(table, pos, normal, idx3, tr, rot, exists_bits)
     reject = (
         (planar_distance > plane_threshold)
         | (d1 < min_distance_base)
@@ -134,6 +176,7 @@ def sample_class_bases(
     plane_threshold: float,
     min_distance_base: float,
     internal_angle_threshold: float,
+    exists_bits=None,
 ) -> SampledBases:
     """The class-conditional path (no edge map): all four rounds of
     conditional masking from src/stocs.cpp:363-519, batched over B bases."""
@@ -146,7 +189,9 @@ def sample_class_bases(
     # ---- round 1
     idx1, ok1 = _categorical_rows(k1, probs)
 
-    exists1 = _pairwise_exists(table, pos, normal, idx1, tr_disc, rot_disc)
+    exists1 = _pairwise_exists(
+        table, pos, normal, idx1, tr_disc, rot_disc, exists_bits
+    )
     arange_n = jnp.arange(n, dtype=jnp.int32)[None, :]
     probs = jnp.where(exists1 & (arange_n != idx1[:, None]), probs, 0.0)
 
@@ -154,7 +199,7 @@ def sample_class_bases(
     idx2, ok2 = _categorical_rows(k2, probs)
     keep2 = round2_keep_mask(
         table, pos, normal, idx1, idx2, tr_disc, rot_disc,
-        internal_angle_threshold,
+        internal_angle_threshold, exists_bits,
     )
     probs = jnp.where(keep2, probs, 0.0)
 
@@ -162,7 +207,7 @@ def sample_class_bases(
     idx3, ok3 = _categorical_rows(k3, probs)
     keep3 = round3_keep_mask(
         table, pos, normal, idx1, idx2, idx3, tr_disc, rot_disc,
-        plane_threshold, min_distance_base,
+        plane_threshold, min_distance_base, exists_bits,
     )
     probs = jnp.where(keep3, probs, 0.0)
 

@@ -149,6 +149,29 @@ def test_table_existence_matches_reference_map(rng):
     assert n_hits > 0  # the test must actually exercise hits
 
 
+def test_fast_keys_match_exact(rng):
+    pos, nrm = random_cloud(rng, 120)
+    p1 = jnp.asarray(pos[:, None])
+    n1 = jnp.asarray(nrm[:, None])
+    p2 = jnp.asarray(pos[None, :])
+    n2 = jnp.asarray(nrm[None, :])
+    exact = np.asarray(ppf.ppf_keys(p1, n1, p2, n2, 5, 5))
+    fast = np.asarray(ppf.ppf_keys_fast(p1, n1, p2, n2, 5, 5))
+    agree = (exact == fast).mean()
+    assert agree > 0.9995, agree  # float boundary flips only
+
+
+def test_angle_bin_index_matches_closest_bin():
+    angles = np.linspace(0.0, 180.0, 3601)
+    cosv = np.cos(np.radians(angles)).astype(np.float32)
+    got = np.asarray(ppf.angle_bin_index(jnp.asarray(cosv), 5)) * 5
+    want = np.asarray(
+        ppf.ppf_closest_bin(jnp.asarray(angles.astype(np.int32)), 5)
+    )
+    mismatch = (got != want).sum()
+    assert mismatch <= len(angles) * 0.002, mismatch
+
+
 def test_probe_slots_misses():
     table_keys = jnp.asarray(np.array([-1] * 16, dtype=np.int32))
     out = np.asarray(
