@@ -124,11 +124,11 @@ def extract_congruent_sets(
 
         match = jnp.ones((p_cap, p_cap), bool)
         if cfg.congruent_distance_mode == "cell":
-            same_cell = (
-                (cell1[:, None, 0] == cell2[None, :, 0])
-                & (cell1[:, None, 1] == cell2[None, :, 1])
-                & (cell1[:, None, 2] == cell2[None, :, 2])
-            )
+            # pack the 3 cell coordinates into one int so equality is a
+            # single [P, Q] compare (eg_size <= 1024 always: unit cube /
+            # power-of-two cell of ~eps)
+            pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
+            same_cell = pack(cell1)[:, None] == pack(cell2)[None, :]
             match &= same_cell
             thresh = (
                 cfg.distance_threshold
@@ -138,8 +138,15 @@ def extract_congruent_sets(
         else:
             thresh = cfg.distance_threshold**2
 
-        d2 = jnp.sum(
-            (e1_world[:, None, :] - e2_world[None, :, :]) ** 2, axis=-1
+        # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides the MXU and
+        # avoids materializing a [P, Q, 3] broadcast intermediate
+        sq1 = jnp.sum(e1_world * e1_world, axis=-1)
+        sq2 = jnp.sum(e2_world * e2_world, axis=-1)
+        d2 = (
+            sq1[:, None] + sq2[None, :]
+            - 2.0 * jnp.dot(
+                e1_world, e2_world.T, preferred_element_type=jnp.float32
+            )
         )
         match &= d2 <= thresh
 
@@ -160,7 +167,16 @@ def extract_congruent_sets(
         # matches are sparse segments rarely hold two, and when dense the
         # subsample is random anyway.
         seg = 64
-        rand = jax.random.uniform(bkey, match.shape)
+        # cheap keyed hash-randomness (murmur mixer over the flat element id
+        # xor a per-base salt): the subsample only needs decorrelation, not
+        # a counter-based PRNG's 10+ ops per element
+        from .ppf_table import _mix32_jnp
+
+        salt = jax.random.bits(bkey, dtype=jnp.uint32)
+        ids = jax.lax.broadcasted_iota(jnp.uint32, match.shape, 0) * jnp.uint32(
+            match.shape[1]
+        ) + jax.lax.broadcasted_iota(jnp.uint32, match.shape, 1)
+        rand = _mix32_jnp(ids ^ salt).astype(jnp.float32) * jnp.float32(2**-32)
         keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
         seg_best = jnp.max(keyed, axis=1)          # [P*Q/seg]
         seg_arg = jnp.argmax(keyed, axis=1).astype(jnp.int32)
