@@ -175,37 +175,3 @@ def score_hybrid(
     return out.at[fine_idx].set(fine)
 
 
-def score_coarse_to_fine(
-    transforms, valid, model_pos, model_normal, model_valid, grid,
-    scene_pos, scene_normal, scene_class_prob,
-    distance_threshold, normal_angle_threshold_deg,
-    model_count=None,
-    coarse_points: int = 128,
-    refine_fraction: float = 0.05,
-    chunk: int = 0,
-):
-    """Two-stage scoring: rank all H transforms on a strided model subset,
-    then rescore the top ceil(H * refine_fraction) with the full model.
-    Returns full-fidelity scores for refined transforms and -1 elsewhere
-    (the discarded ones could not have been the argmax: coarse score is an
-    unbiased estimate and the refine set is chosen generously)."""
-    m = model_pos.shape[0]
-    stride = max(1, m // coarse_points)
-    sub = slice(0, m, stride)
-    coarse = score_transforms(
-        transforms, valid, model_pos[sub], model_normal[sub], model_valid[sub],
-        grid, scene_pos, scene_normal, scene_class_prob,
-        distance_threshold, normal_angle_threshold_deg,
-        model_count=None, chunk=chunk,
-    )
-    h = transforms.shape[0]
-    k = max(1, int(h * refine_fraction))
-    _top, top_idx = jax.lax.top_k(coarse, k)
-    fine = score_transforms(
-        transforms[top_idx], valid[top_idx], model_pos, model_normal,
-        model_valid, grid, scene_pos, scene_normal, scene_class_prob,
-        distance_threshold, normal_angle_threshold_deg,
-        model_count=model_count, chunk=chunk,
-    )
-    out = jnp.full((h,), -1.0, coarse.dtype)
-    return out.at[top_idx].set(fine)
