@@ -1,0 +1,118 @@
+"""Congruent-set extraction invariants: every returned quad must come from
+the correct PPF bins and satisfy the geometric gates the reference applies
+(src/stocs.cpp:753-869)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from model_matching_tpu import congruent, ppf_table
+from model_matching_tpu.config import MatchConfig
+from model_matching_tpu.ops import invariants
+from tests.test_ppf import random_cloud, ref_map_insert, ref_ppf
+
+
+def test_congruent_sets_come_from_matching_bins(rng):
+    # near-planar cloud: 4-point bases then have genuine segment crossings
+    # (the sampling phase only emits near-coplanar bases, stocs.cpp:456-497)
+    mpos = rng.uniform(-0.1, 0.1, (60, 3)).astype(np.float32)
+    mpos[:, 2] = rng.normal(0, 0.002, 60)
+    _junk, mnrm = random_cloud(rng, 60)
+    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 5, 5)
+
+    # the literal reference map, for cross-checking pair provenance
+    ref_map = {}
+    for i in range(60):
+        for j in range(60):
+            if i != j:
+                ref_map_insert(
+                    ref_map, ref_ppf(mpos[i], mnrm[i], mpos[j], mnrm[j]),
+                    5, 5, (i, j),
+                )
+
+    # scene = the model itself (so congruent sets must exist); pick bases
+    # directly from model points
+    spos, snrm = mpos.copy(), mnrm.copy()
+    cfg = MatchConfig(
+        max_pairs_per_bin=1024,
+        maximum_congruent_sets=64,
+        congruent_cos_tolerance=0.3,
+    )
+
+    base_candidates = []
+    for _ in range(500):
+        idx = rng.choice(60, 4, replace=False)
+        perm, i1, i2, dist = invariants.reorder_base(jnp.asarray(spos[idx]))
+        if float(dist) > 0.003:  # segments must genuinely cross
+            continue
+        reordered = idx[np.asarray(perm)]
+        b = reordered
+        bins1 = ref_ppf(spos[b[0]], snrm[b[0]], spos[b[1]], snrm[b[1]])
+        bins2 = ref_ppf(spos[b[2]], snrm[b[2]], spos[b[3]], snrm[b[3]])
+        if tuple(bins1) in ref_map and tuple(bins2) in ref_map:
+            base_candidates.append((reordered, float(i1), float(i2)))
+        if len(base_candidates) == 4:
+            break
+    assert len(base_candidates) >= 1
+
+    bases = np.array([b for b, _, _ in base_candidates], np.int32)
+    inv1 = np.array([a for _, a, _ in base_candidates], np.float32)
+    inv2 = np.array([a for _, _, a in base_candidates], np.float32)
+
+    sets = congruent.extract_congruent_sets(
+        jax.random.PRNGKey(0), table,
+        jnp.asarray(mpos), jnp.asarray(spos), jnp.asarray(snrm),
+        jnp.asarray(bases), jnp.asarray(inv1), jnp.asarray(inv2),
+        jnp.ones(len(bases), bool), cfg,
+    )
+    quads = np.asarray(sets.quads)
+    qvalid = np.asarray(sets.quad_valid)
+    assert qvalid.any(), "self-match must produce congruent sets"
+
+    for bi in range(len(bases)):
+        b = bases[bi]
+        bins1 = ref_ppf(spos[b[0]], snrm[b[0]], spos[b[1]], snrm[b[1]])
+        bins2 = ref_ppf(spos[b[2]], snrm[b[2]], spos[b[3]], snrm[b[3]])
+        p_set = set(map(tuple, ref_map[tuple(bins1)]))
+        q_set = set(map(tuple, ref_map[tuple(bins2)]))
+        # cell-mode gating: the identity correspondence is only required
+        # when its e1/e2 points share a grid cell (the reference's
+        # IndexedNormalSet misses straddling pairs the same way,
+        # normalset.hpp:132-140)
+        lo, hi = mpos.min(0), mpos.max(0)
+        center, ratio = (lo + hi) / 2, (hi - lo + 0.001).max()
+        unit = (mpos - center) / ratio + 0.5
+        eg = 2.0 ** np.trunc(-np.log2(cfg.distance_threshold / ratio))
+        eb = bases[bi]
+        e1u = unit[eb[0]] + inv1[bi] * (unit[eb[1]] - unit[eb[0]])
+        e2u = unit[eb[2]] + inv2[bi] * (unit[eb[3]] - unit[eb[2]])
+        identity_same_cell = (
+            np.floor(e1u * eg) == np.floor(e2u * eg)
+        ).all()
+
+        found_identity = False
+        for k in np.flatnonzero(qvalid[bi]):
+            q = quads[bi, k]
+            # provenance: the quad's two pairs must come from the base's
+            # PPF bins in the reference map
+            assert (q[0], q[1]) in p_set, (bi, k, tuple(q))
+            assert (q[2], q[3]) in q_set
+            # geometric gate: intermediate points within the quirky radius
+            e1 = mpos[q[0]] + inv1[bi] * (mpos[q[1]] - mpos[q[0]])
+            e2 = mpos[q[2]] + inv2[bi] * (mpos[q[3]] - mpos[q[2]])
+            thresh = (
+                cfg.distance_threshold
+                if cfg.congruent_sqdist_quirk
+                else cfg.distance_threshold ** 2
+            )
+            assert ((e1 - e2) ** 2).sum() <= thresh * 1.0001
+            if tuple(q) == (b[0], b[1], b[2], b[3]):
+                found_identity = True
+        # scene == model: the identity correspondence must be among the
+        # matches whenever its cell gate passes and nothing was subsampled
+        # away
+        total = int(np.asarray(sets.total_found)[bi])
+        if identity_same_cell and total <= cfg.maximum_congruent_sets:
+            assert found_identity, (bi, total)
