@@ -92,8 +92,8 @@ def extract_congruent_sets(
 
         off1, cnt1 = lookup_pair_range(table, bins1)
         off2, cnt2 = lookup_pair_range(table, bins2)
-        p_pairs, p_ok, p_total = gather_pairs(table, off1, cnt1, p_cap)
-        q_pairs, q_ok, q_total = gather_pairs(table, off2, cnt2, p_cap)
+        p_total = jnp.sum(cnt1)
+        q_total = jnp.sum(cnt2)
 
         # angle between the two base segments (stocs.cpp:801-803)
         d01 = b[1] - b[0]
@@ -103,95 +103,115 @@ def extract_congruent_sets(
             * (d23 / jnp.maximum(jnp.linalg.norm(d23), 1e-30))
         )
 
-        def seg_points(pairs, inv):
-            a = unit_pos[pairs[:, 0]]
-            bb = unit_pos[pairs[:, 1]]
-            e_unit = a + inv * (bb - a)
-            aw = model_pos[pairs[:, 0]]
-            bw = model_pos[pairs[:, 1]]
-            e_world = aw + inv * (bw - aw)
-            dirs = bb - a
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+        def match_block(cap):
+            """Gather up to `cap` pairs per side and run the [cap, cap]
+            gate matrix + random-subsample selection."""
+            p_pairs, p_ok, _pt = gather_pairs(table, off1, cnt1, cap)
+            q_pairs, q_ok, _qt = gather_pairs(table, off2, cnt2, cap)
+
+            def seg_points(pairs, inv):
+                a = unit_pos[pairs[:, 0]]
+                bb = unit_pos[pairs[:, 1]]
+                e_unit = a + inv * (bb - a)
+                aw = model_pos[pairs[:, 0]]
+                bw = model_pos[pairs[:, 1]]
+                e_world = aw + inv * (bw - aw)
+                dirs = bb - a
+                dirs = dirs / jnp.maximum(
+                    jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+                )
+                return e_unit, e_world, dirs
+
+            e1_unit, e1_world, n1 = seg_points(p_pairs, inv1)
+            e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
+
+            cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
+            cell2 = jnp.floor(e2_unit * eg_size).astype(jnp.int32)
+
+            match = jnp.ones((cap, cap), bool)
+            if cfg.congruent_distance_mode == "cell":
+                # pack the 3 cell coordinates into one int so equality is a
+                # single [P, Q] compare (eg_size <= 1024 always: unit cube /
+                # power-of-two cell of ~eps)
+                pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
+                match &= pack(cell1)[:, None] == pack(cell2)[None, :]
+                thresh = (
+                    cfg.distance_threshold
+                    if cfg.congruent_sqdist_quirk
+                    else cfg.distance_threshold**2
+                )
+            else:
+                thresh = cfg.distance_threshold**2
+
+            # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides the
+            # MXU, avoiding a [P, Q, 3] broadcast intermediate
+            sq1 = jnp.sum(e1_world * e1_world, axis=-1)
+            sq2 = jnp.sum(e2_world * e2_world, axis=-1)
+            d2 = (
+                sq1[:, None] + sq2[None, :]
+                - 2.0 * jnp.dot(
+                    e1_world, e2_world.T, preferred_element_type=jnp.float32
+                )
             )
-            return e_unit, e_world, dirs
+            match &= d2 <= thresh
 
-        e1_unit, e1_world, n1 = seg_points(p_pairs, inv1)
-        e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
+            if cfg.congruent_cos_tolerance >= 0:
+                cos = n1 @ n2.T
+                match &= jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
 
-        cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)  # [P, 3]
-        cell2 = jnp.floor(e2_unit * eg_size).astype(jnp.int32)  # [Q, 3]
+            match &= p_ok[:, None] & q_ok[None, :] & bvalid
 
-        match = jnp.ones((p_cap, p_cap), bool)
-        if cfg.congruent_distance_mode == "cell":
-            # pack the 3 cell coordinates into one int so equality is a
-            # single [P, Q] compare (eg_size <= 1024 always: unit cube /
-            # power-of-two cell of ~eps)
-            pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
-            same_cell = pack(cell1)[:, None] == pack(cell2)[None, :]
-            match &= same_cell
-            thresh = (
-                cfg.distance_threshold
-                if cfg.congruent_sqdist_quirk
-                else cfg.distance_threshold**2
+            total = jnp.sum(match.astype(jnp.int32))
+
+            # keyed random subsample to k_cap. A full top_k over the [P, Q]
+            # matrix is slow on TPU, so first reduce each 64-element segment
+            # to its best random-keyed match, then top_k over the 64x-smaller
+            # segment array. At most one match per segment survives — an
+            # acceptable thinning of the reference's uniform random subsample
+            # (stocs_match_one_object.cpp:126-143). The randomness is a
+            # murmur mixer over the flat element id xor a per-base salt —
+            # decorrelation is all the subsample needs.
+            from .ppf_table import _mix32_jnp
+
+            seg = 64
+            salt = jax.random.bits(bkey, dtype=jnp.uint32)
+            ids = jax.lax.broadcasted_iota(
+                jnp.uint32, match.shape, 0
+            ) * jnp.uint32(cap) + jax.lax.broadcasted_iota(
+                jnp.uint32, match.shape, 1
+            )
+            rand = _mix32_jnp(ids ^ salt).astype(jnp.float32) * jnp.float32(
+                2**-32
+            )
+            keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
+            seg_best = jnp.max(keyed, axis=1)
+            seg_arg = jnp.argmax(keyed, axis=1).astype(jnp.int32)
+            top, seg_idx = jax.lax.top_k(seg_best, k_cap)
+            quad_valid = top >= 0.0
+            flat_idx = seg_idx * seg + seg_arg[seg_idx]
+            pi = flat_idx // cap
+            qi = flat_idx % cap
+            quads = jnp.stack(
+                [
+                    p_pairs[pi, 0], p_pairs[pi, 1],
+                    q_pairs[qi, 0], q_pairs[qi, 1],
+                ],
+                axis=-1,
+            ).astype(jnp.int32)
+            return quads, quad_valid, total
+
+        # two-tier dispatch: most bins hold far fewer than p_cap pairs, and
+        # the small branch does (p_cap/small)^2 times less matrix work
+        small = min(1024, p_cap)
+        if small < p_cap:
+            quads, quad_valid, total = jax.lax.cond(
+                (p_total <= small) & (q_total <= small),
+                lambda _: match_block(small),
+                lambda _: match_block(p_cap),
+                None,
             )
         else:
-            thresh = cfg.distance_threshold**2
-
-        # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides the MXU and
-        # avoids materializing a [P, Q, 3] broadcast intermediate
-        sq1 = jnp.sum(e1_world * e1_world, axis=-1)
-        sq2 = jnp.sum(e2_world * e2_world, axis=-1)
-        d2 = (
-            sq1[:, None] + sq2[None, :]
-            - 2.0 * jnp.dot(
-                e1_world, e2_world.T, preferred_element_type=jnp.float32
-            )
-        )
-        match &= d2 <= thresh
-
-        if cfg.congruent_cos_tolerance >= 0:
-            cos = n1 @ n2.T
-            match &= jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
-
-        match &= p_ok[:, None] & q_ok[None, :] & bvalid
-
-        total = jnp.sum(match.astype(jnp.int32))
-
-        # keyed random subsample to k_cap. A full top_k over the [P, Q]
-        # matrix is slow on TPU, so first reduce each 64-element segment to
-        # its best random-keyed match (vectorized reductions), then top_k
-        # over the 64x-smaller segment array. At most one match per segment
-        # survives — an acceptable thinning of the reference's uniform
-        # random subsample (stocs_match_one_object.cpp:126-143): when
-        # matches are sparse segments rarely hold two, and when dense the
-        # subsample is random anyway.
-        seg = 64
-        # cheap keyed hash-randomness (murmur mixer over the flat element id
-        # xor a per-base salt): the subsample only needs decorrelation, not
-        # a counter-based PRNG's 10+ ops per element
-        from .ppf_table import _mix32_jnp
-
-        salt = jax.random.bits(bkey, dtype=jnp.uint32)
-        ids = jax.lax.broadcasted_iota(jnp.uint32, match.shape, 0) * jnp.uint32(
-            match.shape[1]
-        ) + jax.lax.broadcasted_iota(jnp.uint32, match.shape, 1)
-        rand = _mix32_jnp(ids ^ salt).astype(jnp.float32) * jnp.float32(2**-32)
-        keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
-        seg_best = jnp.max(keyed, axis=1)          # [P*Q/seg]
-        seg_arg = jnp.argmax(keyed, axis=1).astype(jnp.int32)
-        top, seg_idx = jax.lax.top_k(seg_best, k_cap)
-        quad_valid = top >= 0.0
-        flat_idx = seg_idx * seg + seg_arg[seg_idx]
-        pi = flat_idx // p_cap
-        qi = flat_idx % p_cap
-        quads = jnp.stack(
-            [
-                p_pairs[pi, 0], p_pairs[pi, 1],
-                q_pairs[qi, 0], q_pairs[qi, 1],
-            ],
-            axis=-1,
-        ).astype(jnp.int32)
+            quads, quad_valid, total = match_block(p_cap)
         return quads, quad_valid, total, jnp.stack(
             [p_total, q_total]
         ).astype(jnp.int32)

@@ -45,12 +45,17 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int) -> Mode
     centroid = pos.mean(axis=0)
     pos = pos - centroid
 
+    # pad only to the next lane multiple — every scoring stage walks the
+    # whole padded array, so slack here is a direct multiplier on the
+    # hottest loops (capacity is just an upper-bound check)
+    padded = min(capacity, max(128, -(-n // 128) * 128))
+
     def pad(a, fill=0.0):
-        out = np.full((capacity, a.shape[1]), fill, dtype=np.float32)
+        out = np.full((padded, a.shape[1]), fill, dtype=np.float32)
         out[:n] = a
         return jnp.asarray(out)
 
-    valid = np.zeros(capacity, bool)
+    valid = np.zeros(padded, bool)
     valid[:n] = True
     return ModelPack(
         pos=pad(pos),
