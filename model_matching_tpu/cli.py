@@ -303,6 +303,69 @@ def cmd_stocs_batch(argv):
     return 0
 
 
+def cmd_serve(argv):
+    """Long-running estimation service: models and compiled device programs
+    stay resident; requests stream on stdin as '<scene_path> <object>' lines
+    and each response is one line 'OK <12 pose floats> <lcp>' or
+    'ERR <reason>'. Amortizes process startup and XLA compilation across
+    scenes — the deployment shape the one-shot reference binaries
+    (src/stocs_match_one_object.cpp:188-214) cannot offer."""
+    from .config import get_preset
+    from .estimator import StocsEstimator
+    from .model import load_model_pack
+    from .scene import load_scene
+
+    p = argparse.ArgumentParser(prog="serve")
+    _add_common(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--number-of-bases", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_preset(args.preset).match
+    if args.number_of_bases is not None:
+        cfg = dataclasses.replace(cfg, number_of_bases=args.number_of_bases)
+    cfg = dataclasses.replace(cfg, seed=args.seed)
+
+    models = {}
+    print("READY", flush=True)
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] in ("quit", "exit"):
+            break
+        if len(parts) != 2:
+            print("ERR usage: <scene_path> <object>", flush=True)
+            continue
+        scene_path, obj = parts
+        try:
+            if obj not in models:
+                _s, root = _model_dirs(args, obj)
+                models[obj] = load_model_pack(
+                    os.path.join(root, "model_search.ply"),
+                    os.path.join(root, "ppf_table.npz"),
+                    cfg.max_model_points,
+                )
+            edge = os.path.join(scene_path, "probability_maps", "edge.png")
+            scene = load_scene(
+                os.path.join(scene_path, "rgb.png"),
+                os.path.join(scene_path, "depth.png"),
+                os.path.join(scene_path, "probability_maps", f"{obj}.png"),
+                edge if os.path.exists(edge) else None,
+                cfg,
+            )
+            result = StocsEstimator(models[obj], scene, cfg).run(verbose=False)
+            if result.best_index < 0:
+                print("ERR no pose found", flush=True)
+                continue
+            t = result.best_world_transform
+            vals = " ".join(f"{t[i, j]:g}" for i in range(3) for j in range(4))
+            print(f"OK {vals} {result.best_lcp:g}", flush=True)
+        except Exception as e:  # keep serving
+            print(f"ERR {type(e).__name__}: {e}", flush=True)
+    return 0
+
+
 def main(argv=None):
     _enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
@@ -316,9 +379,11 @@ def main(argv=None):
         return cmd_stocs_single(rest)
     if cmd == "stocs-batch":
         return cmd_stocs_batch(rest)
+    if cmd == "serve":
+        return cmd_serve(rest)
     print(
-        f"unknown command {cmd!r}; use model-preprocess, stocs-single or "
-        "stocs-batch"
+        f"unknown command {cmd!r}; use model-preprocess, stocs-single, "
+        "stocs-batch or serve"
     )
     return 2
 
