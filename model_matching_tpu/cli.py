@@ -303,6 +303,62 @@ def cmd_stocs_batch(argv):
     return 0
 
 
+def cmd_stocs_multi(argv):
+    """All objects against one scene in ONE device program (shared scene
+    geometry, per-object probability vectors) — see multi.py."""
+    from .config import get_preset
+    from .model import load_model_pack
+    from .multi import match_all_objects
+    from .scene import load_scene_multi
+
+    p = argparse.ArgumentParser(prog="stocs-multi")
+    p.add_argument("scene_path")
+    p.add_argument("objects", help="comma-separated object names")
+    _add_common(p)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--number-of-bases", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = get_preset(args.preset).match
+    if args.number_of_bases is not None:
+        cfg = dataclasses.replace(cfg, number_of_bases=args.number_of_bases)
+
+    objects = [o for o in args.objects.split(",") if o]
+    models = []
+    for obj in objects:
+        _s, root = _model_dirs(args, obj)
+        models.append(load_model_pack(
+            os.path.join(root, "model_search.ply"),
+            os.path.join(root, "ppf_table.npz"),
+            cfg.max_model_points,
+        ))
+    scene, probs = load_scene_multi(
+        os.path.join(args.scene_path, "rgb.png"),
+        os.path.join(args.scene_path, "depth.png"),
+        [os.path.join(args.scene_path, "probability_maps", f"{o}.png")
+         for o in objects],
+        None, cfg,
+    )
+    best, poses, nhyp = match_all_objects(models, scene, probs, cfg,
+                                          seed=args.seed)
+    out_root = (
+        os.path.join(args.output_root,
+                     os.path.basename(args.scene_path.rstrip("/")))
+        if args.output_root else args.scene_path
+    )
+    os.makedirs(out_root, exist_ok=True)
+    for o, obj in enumerate(objects):
+        t = np.asarray(poses[o])
+        lcp = float(best[o])
+        path = os.path.join(out_root, f"best_pose_candidate_{obj}.txt")
+        with open(path, "w") as f:
+            f.write(" ".join(
+                f"{t[i, j]:g}" for i in range(3) for j in range(4)
+            ) + "\n")
+        print(f"{obj}: lcp={lcp:.4f} hypotheses={int(nhyp[o])} -> {path}")
+    return 0
+
+
 def cmd_serve(argv):
     """Long-running estimation service: models and compiled device programs
     stay resident; requests stream on stdin as '<scene_path> <object>' lines
@@ -379,6 +435,8 @@ def main(argv=None):
         return cmd_stocs_single(rest)
     if cmd == "stocs-batch":
         return cmd_stocs_batch(rest)
+    if cmd == "stocs-multi":
+        return cmd_stocs_multi(rest)
     if cmd == "serve":
         return cmd_serve(rest)
     print(

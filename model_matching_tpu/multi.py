@@ -1,0 +1,134 @@
+"""Multi-object matching in one device program (BASELINE config 4).
+
+The reference matches one object per process invocation (reference:
+src/stocs_match_one_object.cpp:188-214). Here all objects share one scene
+geometry (the union of their probability supports — one back-projection,
+one voxel filter, one NN grid/field) and differ only in their probability
+vectors and model packs. Every model's PPF tables are rebuilt at common
+power-of-two sizes (ppf_table.resize_table), the model clouds padded to a
+common lane multiple, and the whole pipeline — sampling, congruent
+extraction, fit, scoring, per-object argmax — compiles as ONE jit program
+with a static unroll over objects (uniform shapes let XLA deduplicate the
+per-object subgraphs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import congruent, sampling, scoring
+from .config import MatchConfig
+from .model import ModelPack
+from .ops import fit as fit_ops
+from .ppf_table import PPFTable, resize_table
+from .scene import ScenePack
+
+
+def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
+    """Rebuild the packs so every array shape matches across objects."""
+    exist = max(int(m.table.exist_keys.shape[0]) for m in models)
+    bins = max(int(m.table.bin_keys.shape[0]) for m in models)
+    pairs = max(int(m.table.pairs.shape[0]) for m in models)
+    mcap = max(int(m.pos.shape[0]) for m in models)
+
+    out = []
+    for m in models:
+        t = resize_table(m.table, exist, bins, pairs)
+        n = m.pos.shape[0]
+
+        def pad(a):
+            if a.shape[0] == mcap:
+                return a
+            w = np.zeros((mcap - n,) + a.shape[1:], np.asarray(a).dtype)
+            return jnp.asarray(np.concatenate([np.asarray(a), w]))
+
+        out.append(
+            ModelPack(
+                pos=pad(m.pos), normal=pad(m.normal), rgb=pad(m.rgb),
+                valid=pad(m.valid), centroid=m.centroid, table=t,
+            )
+        )
+    # equalize the static probe bounds so the object subgraphs are identical
+    ep = max(m.table.exist_max_probes for m in out)
+    bp = max(m.table.bin_max_probes for m in out)
+    for i, m in enumerate(out):
+        out[i] = dataclasses.replace(
+            m,
+            table=dataclasses.replace(
+                m.table, exist_max_probes=ep, bin_max_probes=bp
+            ),
+        )
+    return out
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _match_all(models: Tuple[ModelPack, ...], scene: ScenePack,
+               probs: jax.Array, key: jax.Array, cfg: MatchConfig):
+    """One program: every object's full match. probs [O, P]."""
+    best_scores, best_poses, n_hyps = [], [], []
+    for o, model in enumerate(models):
+        okey = jax.random.fold_in(key, o)
+        k_sample, k_cong = jax.random.split(okey)
+        prior = probs[o]
+        bases = sampling.sample_class_bases(
+            k_sample, model.table, scene.pos, scene.normal, prior,
+            scene.valid & (prior > 0),
+            num_bases=cfg.number_of_bases,
+            tr_disc=cfg.ppf_tr_discretization,
+            rot_disc=cfg.ppf_rot_discretization,
+            plane_threshold=cfg.plane_threshold,
+            min_distance_base=cfg.min_distance_base,
+            internal_angle_threshold=cfg.internal_angle_threshold,
+        )
+        sets = congruent.extract_congruent_sets(
+            k_cong, model.table, model.pos, scene.pos, scene.normal,
+            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+            cfg,
+        )
+        b, k, _ = sets.quads.shape
+        scene_quad = jnp.broadcast_to(
+            scene.pos[bases.indices][:, None], (b, k, 4, 3)
+        )
+        fits = fit_ops.fit_congruent_pairs(
+            scene_quad, model.pos[sets.quads], scene.centroid, model.centroid
+        )
+        valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
+        scores = scoring.score_hybrid(
+            fits["transform"].reshape(-1, 4, 4), valid,
+            model.pos, model.normal, model.valid,
+            scene.field, scene.grid, scene.pos, scene.normal, prior,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=jnp.sum(model.valid.astype(jnp.float32)),
+        )
+        idx, best = scoring.best_pose(scores)
+        best_scores.append(best)
+        best_poses.append(
+            fits["world_transform"].reshape(-1, 4, 4)[jnp.maximum(idx, 0)]
+        )
+        n_hyps.append(jnp.sum(valid.astype(jnp.int32)))
+    return (
+        jnp.stack(best_scores),
+        jnp.stack(best_poses),
+        jnp.stack(n_hyps),
+    )
+
+
+def match_all_objects(
+    models: Sequence[ModelPack],
+    scene: ScenePack,
+    probs,            # [O, P]
+    cfg: MatchConfig,
+    seed: int = 0,
+):
+    """Returns (best_lcp [O], best_world_transform [O, 4, 4],
+    hypotheses [O])."""
+    aligned = tuple(align_models(models))
+    return _match_all(
+        aligned, scene, jnp.asarray(probs), jax.random.PRNGKey(seed), cfg
+    )

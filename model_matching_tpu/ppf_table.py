@@ -115,15 +115,18 @@ def unpack_key_np(keys: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
 # host-side open-addressing construction
 # ---------------------------------------------------------------------------
 
-def _build_open_table(keys: np.ndarray) -> Tuple[np.ndarray, int]:
+def _build_open_table(
+    keys: np.ndarray, min_size: int = 0
+) -> Tuple[np.ndarray, int]:
     """Insert sorted unique int32 keys into a power-of-two linear-probe table.
 
     Returns (table of indices into `keys`, -1 = empty; max_probes bound valid
-    for both hits and misses)."""
+    for both hits and misses). min_size forces a larger table (used to give
+    several models identical table shapes for vmapped multi-object runs)."""
     u = keys.shape[0]
     # load factor <= 0.25: linear-probe worst-case run length (which bounds
     # the per-lookup fori_loop trip count on device) stays small
-    size = 1 << int(np.ceil(np.log2(max(4 * u, 16))))
+    size = 1 << int(np.ceil(np.log2(max(4 * u, 16, min_size))))
     mask = np.uint32(size - 1)
     table = np.full(size, -1, dtype=np.int64)
     slot = (_mix32_np(keys) & mask).astype(np.int64)
@@ -308,6 +311,57 @@ def build_ppf_table(
         bin_max_probes=int(bin_probes),
     )
     return table, max_distance
+
+
+def resize_table(
+    table: PPFTable, exist_size: int, bin_size: int, num_pairs: int
+) -> PPFTable:
+    """Rebuild a table's open-addressing layouts at the given power-of-two
+    sizes and pad the pair array, so several models share identical shapes
+    (vmapped multi-object matching stacks them on a leading axis). The
+    stored keys/CSR content is unchanged."""
+    exist_keys = np.asarray(table.exist_keys)
+    bin_keys = np.asarray(table.bin_keys)
+    bin_offset = np.asarray(table.bin_offset)
+    bin_count = np.asarray(table.bin_count)
+
+    ek = np.sort(exist_keys[exist_keys >= 0])
+    et_idx, e_probes = _build_open_table(ek, min_size=exist_size)
+    new_exist = np.full(et_idx.shape[0], -1, np.int32)
+    occ = et_idx >= 0
+    new_exist[occ] = ek[et_idx[occ]]
+
+    bocc = bin_keys >= 0
+    order = np.argsort(bin_keys[bocc])
+    bk = bin_keys[bocc][order]
+    bo = bin_offset[bocc][order]
+    bc = bin_count[bocc][order]
+    bt_idx, b_probes = _build_open_table(bk, min_size=bin_size)
+    nb_keys = np.full(bt_idx.shape[0], -1, np.int32)
+    nb_off = np.zeros(bt_idx.shape[0], np.int32)
+    nb_cnt = np.zeros(bt_idx.shape[0], np.int32)
+    occ2 = bt_idx >= 0
+    nb_keys[occ2] = bk[bt_idx[occ2]]
+    nb_off[occ2] = bo[bt_idx[occ2]]
+    nb_cnt[occ2] = bc[bt_idx[occ2]]
+
+    pairs = np.asarray(table.pairs)
+    if pairs.shape[0] < num_pairs:
+        pairs = np.concatenate(
+            [pairs, np.zeros((num_pairs - pairs.shape[0], 2), np.int32)]
+        )
+
+    return PPFTable(
+        exist_keys=jnp.asarray(new_exist),
+        bin_keys=jnp.asarray(nb_keys),
+        bin_offset=jnp.asarray(nb_off),
+        bin_count=jnp.asarray(nb_cnt),
+        pairs=jnp.asarray(pairs),
+        tr_disc=table.tr_disc,
+        rot_disc=table.rot_disc,
+        exist_max_probes=int(e_probes),
+        bin_max_probes=int(b_probes),
+    )
 
 
 # ---------------------------------------------------------------------------

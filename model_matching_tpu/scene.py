@@ -57,7 +57,13 @@ class ScenePack:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _scene_pipeline(rgb, depth_u16, prob_u16, edge_u8, cfg: MatchConfig):
+def _scene_pipeline(rgb, depth_u16, probs_u16, edge_u8, cfg: MatchConfig):
+    """probs_u16: [O, H, W] stacked per-object probability maps (O=1 for the
+    single-object path). A point stays valid if ANY object's probability
+    clears the threshold; per-object sub-threshold probabilities are zeroed
+    (multi-object mode note: in per-object reference runs such points are
+    absent from that object's cloud entirely; here they remain as geometry
+    but carry zero weight for that object)."""
     fx, cx, fy, cy = cfg.camera.as_tuple()
     depth = depth_u16.astype(jnp.float32) * cfg.depth_scale
     pts_img = geometry.backproject_depth(depth, fx, cx, fy, cy)
@@ -87,11 +93,14 @@ def _scene_pipeline(rgb, depth_u16, prob_u16, edge_u8, cfg: MatchConfig):
     in_img = (pix[:, 0] >= 0) & (pix[:, 0] < h) & (pix[:, 1] >= 0) & (pix[:, 1] < w)
     valid &= in_img
 
-    class_prob = prob_u16[row, col].astype(jnp.float32) * cfg.probability_scale
+    class_prob = (
+        probs_u16[:, row, col].astype(jnp.float32) * cfg.probability_scale
+    )  # [O, P']
+    class_prob = jnp.where(class_prob >= cfg.class_threshold, class_prob, 0.0)
     edge_prob = (255.0 - edge_u8[row, col].astype(jnp.float32)) / 255.0
     rgbv = rgb[row, col].astype(jnp.float32)
 
-    valid &= class_prob >= cfg.class_threshold
+    valid &= jnp.any(class_prob > 0, axis=0)
 
     if cfg.scene_normal_mode == "depth":
         nrm = nrm_img[row, col]
@@ -113,7 +122,7 @@ def _scene_pipeline(rgb, depth_u16, prob_u16, edge_u8, cfg: MatchConfig):
     pos = pos[take]
     valid = valid[take]
     nrm = nrm[take]
-    class_prob = jnp.where(valid, class_prob[take], 0.0)
+    class_prob = jnp.where(valid[None, :], class_prob[:, take], 0.0)
     edge_prob = jnp.where(valid, edge_prob[take], 0.0)
     rgbv = rgbv[take]
     pixel = jnp.stack([row, col], axis=-1)[take]
@@ -145,9 +154,26 @@ def load_scene(
     dispatch (src/stocs.cpp:114-118: absent file -> zero image; note an
     all-zero *uint8* edge image means edge_probability==1 everywhere, which
     the class path never reads)."""
+    pack, _probs = load_scene_multi(
+        rgb_path, depth_path, [class_prob_path], edge_path, cfg
+    )
+    return pack
+
+
+def load_scene_multi(
+    rgb_path: str,
+    depth_path: str,
+    class_prob_paths,
+    edge_path: Optional[str],
+    cfg: MatchConfig,
+):
+    """Multi-object variant: one shared scene geometry (union of the
+    per-object probability supports), per-object probability vectors.
+    Returns (ScenePack, probs [O, P]); the pack's class_prob holds object 0's
+    vector for single-object compatibility."""
     rgb = imio.read_rgb(rgb_path)
     depth = imio.read_u16(depth_path)
-    prob = imio.read_u16(class_prob_path)
+    probs = np.stack([imio.read_u16(p) for p in class_prob_paths])
     has_edge = edge_path is not None and os.path.exists(edge_path)
     if has_edge:
         edge = imio.read_u8(edge_path)
@@ -155,7 +181,7 @@ def load_scene(
         edge = np.zeros(depth.shape, np.uint8)
 
     out = _scene_pipeline(
-        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(prob),
+        jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(probs),
         jnp.asarray(edge), cfg,
     )
     host_pos = np.asarray(out["pos"])
@@ -170,11 +196,12 @@ def load_scene(
     icp_grid = build_neighbor_grid(
         host_pos[host_valid], cell_size=cfg.icp_max_corr_dist, cell_cap=512
     )
-    return ScenePack(
+    pack = ScenePack(
         pos=out["pos"], normal=out["normal"], rgb=out["rgb"],
-        pixel=out["pixel"], class_prob=out["class_prob"],
+        pixel=out["pixel"], class_prob=out["class_prob"][0],
         edge_prob=out["edge_prob"], valid=out["valid"],
         centroid=out["centroid"], grid=grid, field=field, icp_grid=icp_grid,
         edge_free=jnp.asarray(edge == 255),
         has_edge=has_edge,
     )
+    return pack, out["class_prob"]

@@ -1,0 +1,125 @@
+"""Single-program multi-object matching: two synthetic objects in one scene,
+both recovered in one jit call."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from model_matching_tpu import multi, ppf_table
+from model_matching_tpu.config import MatchConfig
+from model_matching_tpu.model import ModelPack
+from model_matching_tpu.ops.densefield import build_dense_field
+from model_matching_tpu.ops.gridhash import build_neighbor_grid
+from model_matching_tpu.scene import ScenePack
+
+
+def _ellipsoid(rng, n, a, b, c):
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(np.pi / 2, np.pi, n)
+    pos = np.stack(
+        [a * np.sin(v) * np.cos(u), b * np.sin(v) * np.sin(u), c * np.cos(v)],
+        axis=1,
+    ).astype(np.float32)
+    nrm = np.stack(
+        [np.sin(v) * np.cos(u) / a, np.sin(v) * np.sin(u) / b, np.cos(v) / c],
+        axis=1,
+    ).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    return pos, nrm
+
+
+def _pack_model(pos, nrm, cfg):
+    table, _ = ppf_table.build_ppf_table(
+        pos, nrm, cfg.ppf_tr_discretization, cfg.ppf_rot_discretization
+    )
+    c = pos.mean(0)
+    pad = -(-len(pos) // 128) * 128
+    def p(a):
+        out = np.zeros((pad,) + a.shape[1:], np.float32)
+        out[: len(a)] = a
+        return jnp.asarray(out)
+    return ModelPack(
+        pos=p(pos - c), normal=p(nrm), rgb=p(np.zeros_like(pos)),
+        valid=jnp.asarray(np.arange(pad) < len(pos)),
+        centroid=jnp.asarray(c), table=table,
+    )
+
+
+def test_two_objects_one_program(rng):
+    cfg = MatchConfig(
+        number_of_bases=48, max_scene_points=2048,
+        max_pairs_per_bin=2048, maximum_congruent_sets=64,
+    )
+    m1, n1 = _ellipsoid(rng, 280, 0.08, 0.065, 0.05)
+    m2, n2 = _ellipsoid(rng, 260, 0.05, 0.09, 0.04)
+    packs = [_pack_model(m1, n1, cfg), _pack_model(m2, n2, cfg)]
+
+    gts = []
+    for t in ([0.1, -0.1, 0.7], [-0.12, 0.08, 0.8]):
+        g = np.eye(4, dtype=np.float32)
+        g[:3, :3] = Rotation.random(rng=rng).as_matrix()
+        g[:3, 3] = t
+        gts.append(g)
+
+    clutter = np.stack(
+        [rng.uniform(-0.3, 0.3, 600), rng.uniform(-0.3, 0.3, 600),
+         np.full(600, 0.9) + rng.normal(0, 0.002, 600)], axis=1
+    ).astype(np.float32)
+    cl_n = np.tile([0, 0, -1.0], (600, 1)).astype(np.float32)
+
+    parts, nparts, probs_parts = [], [], []
+    for o, (m, n, g) in enumerate(((m1, n1, gts[0]), (m2, n2, gts[1]))):
+        parts.append(m @ g[:3, :3].T + g[:3, 3])
+        nparts.append(n @ g[:3, :3].T)
+        pr = np.zeros((2, len(m)), np.float32)
+        pr[o] = 0.9
+        probs_parts.append(pr)
+    parts.append(clutter)
+    nparts.append(cl_n)
+    probs_parts.append(np.full((2, 600), 0.12, np.float32))
+
+    spos = np.concatenate(parts)
+    snrm = np.concatenate(nparts)
+    probs = np.concatenate(probs_parts, axis=1)  # [2, S]
+    ns = len(spos)
+    cap = cfg.max_scene_points
+
+    sc = spos.mean(0)
+    centered = spos - sc
+
+    def pad(a, fill=0.0):
+        out = np.full((cap,) + a.shape[1:], fill, np.float32)
+        out[:ns] = a
+        return jnp.asarray(out)
+
+    scene = ScenePack(
+        pos=pad(centered), normal=pad(snrm), rgb=pad(np.zeros_like(spos)),
+        pixel=jnp.zeros((cap, 2), jnp.int32),
+        class_prob=pad(probs[0]),
+        edge_prob=jnp.zeros(cap, jnp.float32),
+        valid=jnp.asarray(np.arange(cap) < ns),
+        centroid=jnp.asarray(sc),
+        grid=build_neighbor_grid(centered, cfg.distance_threshold),
+        field=build_dense_field(centered, snrm, cfg.distance_threshold),
+        icp_grid=build_neighbor_grid(centered, cfg.icp_max_corr_dist,
+                                     cell_cap=512),
+        edge_free=jnp.ones((8, 8), bool), has_edge=False,
+    )
+    probs_pad = np.zeros((2, cap), np.float32)
+    probs_pad[:, :ns] = probs
+
+    best, poses, nhyp = multi.match_all_objects(
+        packs, scene, probs_pad, cfg, seed=0
+    )
+    best = np.asarray(best)
+    poses = np.asarray(poses)
+    assert (np.asarray(nhyp) > 10).all()
+    assert (best > 0.35).all(), best
+
+    from scipy.spatial import cKDTree
+
+    for o, (m, g) in enumerate(((m1, gts[0]), (m2, gts[1]))):
+        moved = m @ poses[o, :3, :3].T + poses[o, :3, 3]
+        gt_pts = m @ g[:3, :3].T + g[:3, 3]
+        d, _ = cKDTree(gt_pts).query(moved)
+        assert np.median(d) < 1.5 * cfg.distance_threshold, (o, np.median(d))
