@@ -137,38 +137,48 @@ def sample_instance_bases_stepwise(
     min_distance_base: float,
     internal_angle_threshold: float,
     flood_max_iters: int = 512,
+    block: int = 10,
 ) -> InstanceSamples:
-    """Host-driven variant: one jitted per-base step dispatched B times.
+    """Host-driven variant: jitted scan blocks of `block` bases, dispatched
+    B/block times.
 
-    Compiling the whole lax.scan (nested flood-fill while_loop, [B, H, W]
-    mask cache in the carry) is pathologically slow on real TPU backends;
-    stepping from the host compiles one small program and pays only B
-    dispatches. Semantics identical to sample_instance_bases."""
+    Compiling the whole B-length lax.scan (nested flood-fill while_loop,
+    [B, H, W] mask cache in the carry) proved pathologically slow on the
+    real TPU backend; a short scan block compiles in seconds and the host
+    loop pays only B/block dispatches. Semantics identical to
+    sample_instance_bases."""
     h, w = edge_free.shape
     step = _make_base_step(
         table, pos, normal, edge_prob, pixel, valid, edge_free,
         dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
         internal_angle_threshold, flood_max_iters,
     )
-    # donate the carry so the [B+1, H, W] mask cache updates in place
-    step = jax.jit(step, donate_argnums=(0,))
 
+    def run_block(carry, inp):
+        return jax.lax.scan(step, carry, inp)
+
+    # donate the carry so the [B+1, H, W] mask cache updates in place
+    run_block = jax.jit(run_block, donate_argnums=(0,))
+
+    nb = -(-num_bases // block)
+    total = nb * block
     carry = (
         class_prob0,
         jnp.zeros((h, w), bool),
         jnp.zeros((h, w), jnp.int32),
-        jnp.zeros((num_bases + 1, h, w), bool),
+        jnp.zeros((total + 1, h, w), bool),
     )
-    keys = jax.random.split(key, num_bases)
+    keys = jax.random.split(key, total).reshape(nb, block, -1)
+    nums = jnp.arange(1, total + 1, dtype=jnp.int32).reshape(nb, block)
     raws, oks = [], []
-    for i in range(num_bases):
-        carry, (raw, ok) = step(carry, (jnp.int32(i + 1), keys[i]))
+    for i in range(nb):
+        carry, (raw, ok) = run_block(carry, (nums[i], keys[i]))
         raws.append(raw)
         oks.append(ok)
     class_prob = carry[0]
-    masks = carry[3]
-    raws = jnp.stack(raws)
-    oks = jnp.stack(oks)
+    masks = carry[3][: num_bases + 1]
+    raws = jnp.concatenate(raws)[:num_bases]
+    oks = jnp.concatenate(oks)[:num_bases]
 
     from .ops import invariants
 

@@ -14,7 +14,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from .io import ply
-from .ppf_table import PPFTable, load_ppf_table
+from .ppf_table import PPFTable, load_ppf_table, resize_table
+
+# Shape floors for the device tables: every model whose tables fit inside
+# them gets IDENTICAL array shapes and probe bounds, so jitted phases
+# compiled for one object are reused verbatim for the next (different
+# objects/datasets otherwise force recompiles through differing shapes).
+_EXIST_FLOOR = 1 << 20
+_BIN_FLOOR = 1 << 19
+_PAIRS_FLOOR = 1 << 20
+
+
+def _bucket_probes(p: int) -> int:
+    return max(16, -(-p // 8) * 8)
 
 
 @jax.tree_util.register_dataclass
@@ -41,6 +53,27 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int) -> Mode
             f"model has {n} points > capacity {capacity}; raise max_model_points"
         )
     table, _meta = load_ppf_table(table_path)
+    pairs_size = max(_PAIRS_FLOOR, 1 << int(np.ceil(np.log2(
+        max(table.pairs.shape[0], 2)
+    ))))
+    if (
+        table.exist_keys.shape[0] != max(_EXIST_FLOOR, table.exist_keys.shape[0])
+        or table.bin_keys.shape[0] != max(_BIN_FLOOR, table.bin_keys.shape[0])
+        or table.pairs.shape[0] != pairs_size
+    ):
+        table = resize_table(
+            table,
+            max(_EXIST_FLOOR, table.exist_keys.shape[0]),
+            max(_BIN_FLOOR, table.bin_keys.shape[0]),
+            pairs_size,
+        )
+    import dataclasses as _dc
+
+    table = _dc.replace(
+        table,
+        exist_max_probes=_bucket_probes(table.exist_max_probes),
+        bin_max_probes=_bucket_probes(table.bin_max_probes),
+    )
 
     centroid = pos.mean(axis=0)
     pos = pos - centroid
