@@ -331,6 +331,7 @@ def cmd_stocs_multi(argv):
             os.path.join(root, "model_search.ply"),
             os.path.join(root, "ppf_table.npz"),
             cfg.max_model_points,
+            standardize=True,
         ))
     scene, probs = load_scene_multi(
         os.path.join(args.scene_path, "rgb.png"),
@@ -401,6 +402,7 @@ def cmd_serve(argv):
                     os.path.join(root, "model_search.ply"),
                     os.path.join(root, "ppf_table.npz"),
                     cfg.max_model_points,
+                    standardize=True,
                 )
             edge = os.path.join(scene_path, "probability_maps", "edge.png")
             scene = load_scene(

@@ -43,7 +43,12 @@ class ModelPack:
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-def load_model_pack(model_ply_path: str, table_path: str, capacity: int) -> ModelPack:
+def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
+                    standardize: bool = False) -> ModelPack:
+    """standardize=True pads the tables to common shape floors and buckets
+    the probe bounds, so jitted phases compiled for one object are reused
+    verbatim for others (serve/batch/multi paths). Costs some gather
+    bandwidth — single-object runs keep exact-size tables by default."""
     pos, normal, rgb = ply.read_ply_cloud(model_ply_path, scale=1.0)
     if normal is None:
         raise ValueError(f"{model_ply_path} has no normals; run model-preprocess")
@@ -53,27 +58,28 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int) -> Mode
             f"model has {n} points > capacity {capacity}; raise max_model_points"
         )
     table, _meta = load_ppf_table(table_path)
-    pairs_size = max(_PAIRS_FLOOR, 1 << int(np.ceil(np.log2(
-        max(table.pairs.shape[0], 2)
-    ))))
-    if (
-        table.exist_keys.shape[0] != max(_EXIST_FLOOR, table.exist_keys.shape[0])
-        or table.bin_keys.shape[0] != max(_BIN_FLOOR, table.bin_keys.shape[0])
-        or table.pairs.shape[0] != pairs_size
-    ):
-        table = resize_table(
-            table,
-            max(_EXIST_FLOOR, table.exist_keys.shape[0]),
-            max(_BIN_FLOOR, table.bin_keys.shape[0]),
-            pairs_size,
-        )
-    import dataclasses as _dc
+    if standardize:
+        pairs_size = max(_PAIRS_FLOOR, 1 << int(np.ceil(np.log2(
+            max(table.pairs.shape[0], 2)
+        ))))
+        if (
+            table.exist_keys.shape[0] < _EXIST_FLOOR
+            or table.bin_keys.shape[0] < _BIN_FLOOR
+            or table.pairs.shape[0] != pairs_size
+        ):
+            table = resize_table(
+                table,
+                max(_EXIST_FLOOR, table.exist_keys.shape[0]),
+                max(_BIN_FLOOR, table.bin_keys.shape[0]),
+                pairs_size,
+            )
+        import dataclasses as _dc
 
-    table = _dc.replace(
-        table,
-        exist_max_probes=_bucket_probes(table.exist_max_probes),
-        bin_max_probes=_bucket_probes(table.bin_max_probes),
-    )
+        table = _dc.replace(
+            table,
+            exist_max_probes=_bucket_probes(table.exist_max_probes),
+            bin_max_probes=_bucket_probes(table.bin_max_probes),
+        )
 
     centroid = pos.mean(axis=0)
     pos = pos - centroid
