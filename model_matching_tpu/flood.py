@@ -12,8 +12,6 @@ max-path-length sweeps; each sweep applies `steps` dilations).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

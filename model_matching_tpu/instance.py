@@ -18,7 +18,6 @@ segment, the claim buffer and the mask cache as carry.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -26,7 +26,7 @@ from . import congruent, sampling, scoring
 from .config import MatchConfig
 from .model import ModelPack
 from .ops import fit as fit_ops
-from .ppf_table import PPFTable, resize_table
+from .ppf_table import resize_table
 from .scene import ScenePack
 
 

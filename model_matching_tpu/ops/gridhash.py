@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ppf_table import _build_open_table, _mix32_jnp, _mix32_np
+from ..ppf_table import _build_open_table, _mix32_jnp
 
 
 @jax.tree_util.register_dataclass

@@ -8,9 +8,9 @@ runs all B bases as one [B, N] tensor program: four masked-categorical
 rounds with keyed PRNG (deterministic, unlike the reference's wall-clock
 seeding — parity is therefore at the score/pose level, not the RNG level).
 
-The instance path (edge maps + flood-fill segments) lives in flood.py /
-estimator.py because its cross-base probability decay is inherently
-sequential (reference: src/stocs.cpp:571-580).
+The instance path (edge maps + flood-fill segments) lives in instance.py
+because its cross-base probability decay is inherently sequential
+(reference: src/stocs.cpp:571-580); it reuses this module's round masks.
 """
 
 from __future__ import annotations

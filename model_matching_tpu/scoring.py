@@ -4,17 +4,16 @@ The reference scores each candidate transform by walking every model point
 through a kd-tree restricted-NN query against the scene and accumulating the
 matched scene point's class probability when the normals agree within 30
 degrees (reference: src/stocs.cpp:982-1041). That is O(H * M) sequential
-tree walks. Here the scene lives in a voxel-grid hash (ops/gridhash.py) and
-all H x M queries run as one fused device program: transform -> bounded hash
-probe -> fixed-cap masked candidate scan -> masked weighted reduction ->
-argmax. A two-stage coarse->fine path (score a model subset first, rescore
-survivors with all points) trades nothing measurable in accuracy for a large
-cut in candidate-scan work.
+tree walks. Here all H x M queries run as fused device programs over two
+scene structures — the exact voxel-grid hash (ops/gridhash.py) and the
+dense NN field (ops/densefield.py) — composed into a three-stage ladder
+(score_hybrid): field + model subset for every hypothesis, field + full
+model for the top fraction, exact grid for the leaders, so final LCP values
+keep the reference's NN semantics at a fraction of the gather traffic.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
