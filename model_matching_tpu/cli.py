@@ -66,6 +66,9 @@ def cmd_model_preprocess(argv):
 
     src_root, out_root = _model_dirs(args, args.object)
     src = os.path.join(src_root, "textured_vertices.ply")
+    if not os.path.exists(src):
+        print(f"error: model source {src} not found")
+        return 1
     dst_model = os.path.join(out_root, "model_search.ply")
     dst_table = os.path.join(out_root, "ppf_table.npz")
     os.makedirs(out_root, exist_ok=True)
@@ -127,6 +130,10 @@ def cmd_stocs_single(argv):
     shutil.rmtree(dbg, ignore_errors=True)
     os.makedirs(dbg, exist_ok=True)
 
+    if not os.path.exists(model_ply):
+        print(f"error: {model_ply} not found — run "
+              f"'model-preprocess {args.object}' first")
+        return 1
     print("############# LOADING OBJECT MAPS ################")
     model = load_model_pack(model_ply, table_path, cfg.max_model_points)
     print(f"|M| = {int(model.count())}, pairs = {model.table.num_pairs}")
@@ -443,7 +450,7 @@ def main(argv=None):
         return cmd_serve(rest)
     print(
         f"unknown command {cmd!r}; use model-preprocess, stocs-single, "
-        "stocs-batch or serve"
+        "stocs-batch, stocs-multi or serve"
     )
     return 2
 
