@@ -127,8 +127,8 @@ def score_hybrid(
     scene_pos, scene_normal, scene_class_prob,
     distance_threshold, normal_angle_threshold_deg,
     model_count=None,
-    coarse_points: int = 128,
-    mid_fraction: float = 0.1,
+    coarse_points: int = 64,
+    mid_fraction: float = 0.08,
     refine_count: int = 256,
 ):
     """Production scorer: a three-stage ladder.
