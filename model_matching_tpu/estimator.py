@@ -249,6 +249,13 @@ class StocsEstimator:
             print(f"found {total_sets} congruent sets "
                   f"({n_hyp} hypotheses) in "
                   f"{(timings['congruent_sets']+timings['rigid_fit'])*1e6:.0f} us")
+        pair_max = int(jnp.max(sets.pair_counts))
+        if pair_max > cfg.max_pairs_per_bin and verbose:
+            print(
+                f"WARNING: a PPF bin held {pair_max} pairs; only "
+                f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
+                f"raise the cap for full recall"
+            )
 
         t0 = time.perf_counter()
         scores, idx, best = _phase_score(

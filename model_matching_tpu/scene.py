@@ -184,6 +184,12 @@ def load_scene_multi(
         jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(probs),
         jnp.asarray(edge), cfg,
     )
+    truncated = int(out["truncated"])
+    if truncated > 0:
+        print(
+            f"WARNING: scene capacity max_scene_points dropped {truncated} "
+            f"valid points — raise MatchConfig.max_scene_points"
+        )
     host_pos = np.asarray(out["pos"])
     host_valid = np.asarray(out["valid"])
     grid = build_neighbor_grid(
