@@ -113,8 +113,11 @@ class MatchConfig:
     max_scene_points: int = 16384
     # Max model points after preprocessing.
     max_model_points: int = 4096
-    # Max pairs fetched from one PPF bin during congruent extraction.
-    max_pairs_per_bin: int = 4096
+    # Max pairs fetched from one PPF bin during congruent extraction. The
+    # two-tier dispatch in congruent.py runs a 1024-cap matrix for typical
+    # bins, so this worst-case cap only prices the rare dense-bin base
+    # (YCB bowl peaks at ~5.3k pairs in one bin).
+    max_pairs_per_bin: int = 8192
     # Max congruent sets retained per base before the maximum_congruent_sets
     # subsample (reference keeps all, stocs.cpp:860-866).
     max_congruent_per_base: int = 1024
