@@ -18,16 +18,12 @@ import numpy as np
 
 
 def main():
-    import os
-
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("MM_TPU_CACHE", "/tmp/mm_tpu_xla_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from model_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from __graft_entry__ import _synthetic_setup
     from model_matching_tpu import scoring

@@ -262,21 +262,6 @@ def cmd_stocs_single(argv):
     return 0
 
 
-def _enable_compilation_cache():
-    """Persist XLA compilations across processes (first TPU compile through
-    the tunnel is slow; production runs shouldn't pay it twice)."""
-    try:
-        import jax
-
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("MM_TPU_CACHE", "/tmp/mm_tpu_xla_cache"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def cmd_stocs_batch(argv):
     """Match several objects against one scene in a single process: every
     phase is one jitted device program whose shapes are object-independent,
@@ -432,7 +417,9 @@ def cmd_serve(argv):
 
 
 def main(argv=None):
-    _enable_compilation_cache()
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
