@@ -365,11 +365,24 @@ class StocsEstimator:
         pool_s = jnp.concatenate(pool_s)
         pool_t = jnp.concatenate(pool_t)
         pool_w = jnp.concatenate(pool_w)
-        elapsed = time.perf_counter() - t_start
 
         best_i = int(jnp.argmax(pool_s))
         best_lcp = float(pool_s[best_i])
         best_w = np.asarray(pool_w[best_i])
+
+        # ICP polish of the sweep winner, like the single-run path
+        if cfg.refine_best_pose and best_lcp > 0:
+            refined, new_lcp = _phase_refine(
+                pool_t[best_i], self.model, self.scene, self.class_prob, cfg
+            )
+            if float(new_lcp) >= best_lcp:
+                a = np.eye(4, dtype=np.float32)
+                a[:3, 3] = np.asarray(self.scene.centroid)
+                bmat = np.eye(4, dtype=np.float32)
+                bmat[:3, 3] = -np.asarray(self.model.centroid)
+                best_w = a @ np.asarray(refined) @ bmat
+                best_lcp = float(new_lcp)
+        elapsed = time.perf_counter() - t_start
 
         cidx, cmask = clustering.greedy_clustering(
             pool_w, pool_s, pool_s > 0,
