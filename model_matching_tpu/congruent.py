@@ -200,18 +200,24 @@ def extract_congruent_sets(
             ).astype(jnp.int32)
             return quads, quad_valid, total
 
-        # two-tier dispatch: most bins hold far fewer than p_cap pairs, and
-        # the small branch does (p_cap/small)^2 times less matrix work
-        small = min(1024, p_cap)
-        if small < p_cap:
-            quads, quad_valid, total = jax.lax.cond(
-                (p_total <= small) & (q_total <= small),
-                lambda _: match_block(small),
-                lambda _: match_block(p_cap),
-                None,
-            )
-        else:
+        # tiered dispatch: most bins hold far fewer than p_cap pairs, and a
+        # cap-c branch does (p_cap/c)^2 times less matrix work
+        tiers = [c for c in (1024, 4096) if c < p_cap] + [p_cap]
+        if len(tiers) == 1:
             quads, quad_valid, total = match_block(p_cap)
+        else:
+            def dispatch(remaining):
+                cap = remaining[0]
+                if len(remaining) == 1:
+                    return match_block(cap)
+                return jax.lax.cond(
+                    (p_total <= cap) & (q_total <= cap),
+                    lambda _: match_block(cap),
+                    lambda _: dispatch(remaining[1:]),
+                    None,
+                )
+
+            quads, quad_valid, total = dispatch(tiers)
         return quads, quad_valid, total, jnp.stack(
             [p_total, q_total]
         ).astype(jnp.int32)

@@ -104,13 +104,17 @@ def depth_normals(depth, fx, cx, fy, cy, window: int = 5):
 
 
 def grid_pca_normals(pos, valid, radius: float, cell_cap: int = 64,
-                     min_neighbors: int = 3):
+                     min_neighbors: int = 3, orient: str = "camera"):
     """Device-side radius-PCA normals over a padded cloud, via the same
     sorted-voxel-grid 27-cell pattern as ops.voxel.radius_outlier_mask:
     accumulate neighbor first/second moments, then take the smallest
-    covariance eigenvector. Oriented toward the camera at the origin
-    (n . p < 0), the convention of the reference's scene normals
-    (cv::rgbd::RgbdNormals; the LCP gate consumes them at stocs.cpp:1026-1032).
+    covariance eigenvector.
+
+    orient="camera": toward the camera at the origin (n . p < 0), the scene
+    convention (cv::rgbd::RgbdNormals; LCP consumes them at
+    stocs.cpp:1026-1032). orient="outward": away from the origin
+    (n . p > 0), the model convention (PCL's toward-viewpoint orientation
+    negated by the reference, src/stocs.cpp:47-52).
 
     Returns (normal [N, 3], ok [N])."""
     n = pos.shape[0]
@@ -159,7 +163,8 @@ def grid_pca_normals(pos, valid, radius: float, cell_cap: int = 64,
     mean = s1 / denom[:, None]
     cov = s2 / denom[:, None, None] - mean[:, :, None] * mean[:, None, :]
     nrm = smallest_eigenvector_3x3(cov)
-    flip = jnp.sum(nrm * pos, axis=-1) > 0  # camera at origin: face it
+    dot = jnp.sum(nrm * pos, axis=-1)
+    flip = dot > 0 if orient == "camera" else dot < 0
     nrm = jnp.where(flip[:, None], -nrm, nrm)
     ok = valid & (cnt >= min_neighbors)
     return jnp.where(ok[:, None], nrm, 0.0), ok

@@ -38,16 +38,16 @@ def preprocess_model(
 
     # PCA normals over the raw cloud, oriented outward from the model-frame
     # origin (PCL orients toward the origin viewpoint; the reference then
-    # negates, src/stocs.cpp:47-52)
-    idx, cnt = normals_ops.radius_neighbor_indices(
-        pos, cfg.normal_radius, cap=cfg.normal_max_neighbors
+    # negates, src/stocs.cpp:47-52). Device grid-PCA (same op as the scene
+    # path); degenerate neighborhoods become NaN so they poison their voxel
+    # and get dropped on load like PCL's NaN normals.
+    dn, dok = normals_ops.grid_pca_normals(
+        jnp.asarray(pos), jnp.asarray(np.ones(n, bool)),
+        cfg.normal_radius, cell_cap=cfg.normal_max_neighbors,
+        orient="outward",
     )
-    nrm = np.asarray(
-        normals_ops.pca_normals_from_neighbors(
-            jnp.asarray(pos), jnp.asarray(idx), jnp.asarray(cnt),
-            orient_outward_from_origin=True,
-        )
-    )
+    nrm = np.array(np.asarray(dn))
+    nrm[~np.asarray(dok)] = np.nan
 
     # voxel centroid downsample averaging normals and color like PCL's
     # XYZRGBNormal VoxelGrid (src/stocs.cpp:54-57)
