@@ -320,7 +320,7 @@ class StocsEstimator:
             },
         )
 
-    def run_sweep(self, total_bases: int, chunk: int = 1024,
+    def run_sweep(self, total_bases: int, chunk: int = 2048,
                   keep_per_chunk: int = 256, seed: Optional[int] = None,
                   verbose: bool = True):
         """Large hypothesis sweep (BASELINE config 5): process `total_bases`
