@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# A sitecustomize may have imported jax before this file runs, in which case
+# the env var above is read too late — force the platform through the config
+# as well (observed in the driver environment: tests silently ran on the
+# tunnel TPU with bf16-ish matmul precision and different timings).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
