@@ -68,3 +68,24 @@ def test_packed_scene_has_edge_map():
     assert v.sum() > 500
     # edge-pruned points exist (prob stays, edge_prob == 1 marks them)
     assert (np.asarray(scene.edge_prob)[v] == 1.0).any()
+
+
+@needs_ref
+def test_load_scene_multi_per_object_probs():
+    from model_matching_tpu.scene import load_scene_multi
+
+    cfg = get_preset("ycb").match
+    # same map twice: per-object vectors must agree and match the
+    # single-object loader's output
+    pack, probs = load_scene_multi(
+        f"{REF}/examples/ycb/rgb.png",
+        f"{REF}/examples/ycb/depth.png",
+        [f"{REF}/examples/ycb/probability_maps/024_bowl.png"] * 2,
+        None, cfg,
+    )
+    probs = np.asarray(probs)
+    assert probs.shape[0] == 2
+    np.testing.assert_array_equal(probs[0], probs[1])
+    np.testing.assert_array_equal(np.asarray(pack.class_prob), probs[0])
+    v = np.asarray(pack.valid)
+    assert (probs[0][v] > 0).all()  # union validity == per-object here
