@@ -32,6 +32,25 @@ def _add_common(p):
                         "use when the repo is read-only)")
 
 
+#: The read-only reference checkout; never write artifacts into it.
+_REFERENCE_ROOT = "/root/reference"
+
+
+def _guard_writable(path: str) -> None:
+    """Refuse to write artifacts under the read-only reference tree.
+
+    The reference CLI writes next to its inputs
+    (stocs_match_one_object.cpp:173-180); ours keeps that default for parity
+    but the bundled fixtures live in a read-only checkout, so writing there
+    must fail loudly with the flag that fixes it."""
+    real = os.path.realpath(path)
+    if real == _REFERENCE_ROOT or real.startswith(_REFERENCE_ROOT + os.sep):
+        raise SystemExit(
+            f"error: refusing to write artifacts under the read-only "
+            f"reference tree ({real}); pass --output-root <writable dir>"
+        )
+
+
 def _model_dirs(args, object_name):
     src_root = os.path.join(args.repo_path, "models", object_name)
     out_root = os.path.join(
@@ -71,6 +90,7 @@ def cmd_model_preprocess(argv):
         return 1
     dst_model = os.path.join(out_root, "model_search.ply")
     dst_table = os.path.join(out_root, "ppf_table.npz")
+    _guard_writable(out_root)
     os.makedirs(out_root, exist_ok=True)
     for f in (dst_model, dst_table):
         if os.path.exists(f):
@@ -126,6 +146,7 @@ def cmd_stocs_single(argv):
         if args.output_root
         else args.scene_path
     )
+    _guard_writable(scene_out)
     dbg = os.path.join(scene_out, "dbg")
     shutil.rmtree(dbg, ignore_errors=True)
     os.makedirs(dbg, exist_ok=True)
@@ -339,10 +360,19 @@ def cmd_stocs_multi(argv):
                      os.path.basename(args.scene_path.rstrip("/")))
         if args.output_root else args.scene_path
     )
+    _guard_writable(out_root)
     os.makedirs(out_root, exist_ok=True)
     for o, obj in enumerate(objects):
         t = np.asarray(poses[o])
         lcp = float(best[o])
+        if lcp <= 0.0:
+            # best_pose returns idx=-1 (masked to 0 in multi.py) when no
+            # hypothesis scored > 0 — the transform is arbitrary. Match
+            # stocs-single / the reference ("no pose found", nothing
+            # written, stocs_match_one_object.cpp:171-184).
+            print(f"{obj}: no pose found (0 scoring hypotheses of "
+                  f"{int(nhyp[o])})")
+            continue
         path = os.path.join(out_root, f"best_pose_candidate_{obj}.txt")
         with open(path, "w") as f:
             f.write(" ".join(

@@ -1,0 +1,144 @@
+"""Sharded matching step vs a sequential per-shard oracle.
+
+``matching_step_sharded`` runs the full sample -> congruent -> fit -> score
+step under shard_map over the conftest 8-device CPU mesh, with the only
+communication being the global weighted-LCP argmax (all_gather of per-device
+bests + psum pose selection, ``parallel/sharding.py``), mirroring the
+reference's final argmax over all hypotheses
+(/root/reference/src/stocs.cpp:982-1004). This test re-derives the exact
+same computation sequentially on a single device — one fold_in(key, dev)
+RNG stream per shard, the same library calls — and asserts the collective
+path produces identical results.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from model_matching_tpu import congruent, sampling, scoring
+from model_matching_tpu.ops import fit as fit_ops
+from model_matching_tpu.parallel.sharding import (
+    HYP_AXIS,
+    make_mesh,
+    matching_step_sharded,
+)
+
+from __graft_entry__ import _synthetic_setup
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model, scene, cfg = _synthetic_setup(
+        num_model=128, num_scene=512, num_bases=16,
+        max_pairs=256, max_congruent=16,
+    )
+    return model, scene, cfg
+
+
+def _sequential_shard(model, scene, cfg, key, dev, b_local):
+    """Exactly the shard_map body for one device index, run unsharded."""
+    key_local = jax.random.fold_in(key, dev)
+    k_sample, k_cong = jax.random.split(key_local)
+
+    bases = sampling.sample_class_bases(
+        k_sample, model.table, scene.pos, scene.normal,
+        scene.class_prob, scene.valid,
+        num_bases=b_local,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+    )
+    sets = congruent.extract_congruent_sets(
+        k_cong, model.table, model.pos, scene.pos, scene.normal,
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+        cfg,
+    )
+    b, k, _ = sets.quads.shape
+    scene_quad = jnp.broadcast_to(
+        scene.pos[bases.indices][:, None], (b, k, 4, 3)
+    )
+    model_quad = model.pos[sets.quads]
+    fits = fit_ops.fit_congruent_pairs(
+        scene_quad, model_quad, scene.centroid, model.centroid
+    )
+    valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
+    transforms = fits["transform"].reshape(-1, 4, 4)
+    world = fits["world_transform"].reshape(-1, 4, 4)
+    mc = jnp.sum(model.valid.astype(jnp.float32))
+    scores = scoring.score_transforms(
+        transforms, valid, model.pos, model.normal, model.valid,
+        scene.grid, scene.pos, scene.normal, scene.class_prob,
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+        model_count=mc,
+    )
+    li = jnp.argmax(scores)
+    return scores[li], world[li], jnp.sum(valid.astype(jnp.int32))
+
+
+def test_sharded_matches_sequential_oracle(setup):
+    model, scene, cfg = setup
+    key = jax.random.PRNGKey(7)
+    n_dev = jax.device_count()
+    assert n_dev == 8, "conftest must force the 8-device CPU mesh"
+    mesh = make_mesh()
+
+    best, pose, n_valid = matching_step_sharded(mesh, model, scene, cfg, key)
+
+    b_local = cfg.number_of_bases // n_dev
+    per_dev = [
+        _sequential_shard(model, scene, cfg, key, d, b_local)
+        for d in range(n_dev)
+    ]
+    seq_bests = np.array([float(b) for b, _, _ in per_dev])
+    winner = int(np.argmax(seq_bests))
+    seq_best = seq_bests[winner]
+    seq_pose = np.asarray(per_dev[winner][1])
+    seq_valid = sum(int(v) for _, _, v in per_dev)
+
+    assert float(best) == pytest.approx(seq_best, abs=1e-6)
+    assert int(n_valid) == seq_valid
+    assert seq_valid > 0, "synthetic fixture should yield valid hypotheses"
+    np.testing.assert_allclose(np.asarray(pose), seq_pose, atol=1e-5)
+
+
+def test_sharded_outputs_replicated_and_sane(setup):
+    model, scene, cfg = setup
+    key = jax.random.PRNGKey(3)
+    mesh = make_mesh()
+    best, pose, n_valid = matching_step_sharded(mesh, model, scene, cfg, key)
+
+    pose = np.asarray(pose)
+    assert pose.shape == (4, 4)
+    np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)
+    # rotation block orthonormal
+    rtr = pose[:3, :3].T @ pose[:3, :3]
+    np.testing.assert_allclose(rtr, np.eye(3), atol=1e-4)
+    assert 0.0 < float(best) <= 1.0
+    assert int(n_valid) > 0
+
+
+def test_sharded_deterministic_per_key(setup):
+    model, scene, cfg = setup
+    mesh = make_mesh()
+    k1 = jax.random.PRNGKey(11)
+    a = matching_step_sharded(mesh, model, scene, cfg, k1)
+    b = matching_step_sharded(mesh, model, scene, cfg, k1)
+    assert float(a[0]) == float(b[0])
+    assert int(a[2]) == int(b[2])
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    # different key -> allowed to differ (not asserted), but must still run
+    c = matching_step_sharded(mesh, model, scene, cfg, jax.random.PRNGKey(12))
+    assert np.isfinite(float(c[0]))
+
+
+def test_sharded_bases_divisibility_error(setup):
+    model, scene, cfg = setup
+    import dataclasses
+
+    bad = dataclasses.replace(cfg, number_of_bases=10)  # 10 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        matching_step_sharded(make_mesh(), model, scene, bad,
+                              jax.random.PRNGKey(0))
