@@ -185,7 +185,20 @@ def cmd_stocs_single(argv):
     est = StocsEstimator(model, scene, cfg)
 
     if args.sweep:
-        best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(args.sweep)
+        import jax as _jax
+
+        n_dev = _jax.device_count()
+        if n_dev > 1:
+            # shard the hypothesis axis over the mesh; chunk divisibility is
+            # guaranteed by rounding up to the device count
+            from .parallel.sharding import make_mesh, run_sweep_sharded
+
+            chunk = -(-2048 // n_dev) * n_dev
+            best_lcp, best_w, cl_t, cl_s, stats = run_sweep_sharded(
+                make_mesh(), model, scene, cfg, args.sweep, chunk=chunk,
+            )
+        else:
+            best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(args.sweep)
         out_file = os.path.join(
             scene_out, f"best_pose_candidate_{args.object}.txt"
         )
@@ -447,8 +460,12 @@ def cmd_serve(argv):
 
 
 def main(argv=None):
+    from .parallel.sharding import init_distributed
     from .utils.cache import enable_compilation_cache
 
+    # multi-host (DCN) bootstrap; no-op unless a coordinator is configured
+    # via JAX_COORDINATOR_ADDRESS. Must run before any device access.
+    init_distributed()
     enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):

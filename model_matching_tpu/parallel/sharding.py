@@ -13,8 +13,12 @@ over DCN via jax.distributed.
 
 from __future__ import annotations
 
+import time
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import congruent, sampling, scoring
@@ -26,11 +30,96 @@ from ..scene import ScenePack
 HYP_AXIS = "hyp"
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host (DCN) bootstrap: wires jax.distributed so a pod-slice
+    program spans hosts (SURVEY.md section 2.3: ICI within a slice, DCN
+    across hosts). Call before any device access. With no arguments, JAX
+    auto-detects the cluster from the TPU metadata / standard env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID); explicit
+    values override. No-op (returns 1) when no cluster is configured.
+    Returns the process count."""
+    import os
+
+    configured = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if not configured:
+        return 1
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_count()
+
+
 def make_mesh(devices=None, axis: str = HYP_AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     import numpy as np
 
     return Mesh(np.asarray(devices), (axis,))
+
+
+def _local_hypotheses(key_local, model, scene, class_prob, bits,
+                      cfg: MatchConfig, b_local: int, coarse_to_fine: bool):
+    """One device's share of a matching step: sample b_local bases ->
+    congruent sets -> fits -> scores. Returns (scores [H], transforms
+    [H,4,4], world_transforms [H,4,4], valid [H]). `bits` is the optional
+    precomputed pair-existence matrix (sampling.build_exists_bits)."""
+    k_sample, k_cong = jax.random.split(key_local)
+
+    bases = sampling.sample_class_bases(
+        k_sample, model.table, scene.pos, scene.normal,
+        class_prob, scene.valid,
+        num_bases=b_local,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+        exists_bits=bits,
+    )
+    sets = congruent.extract_congruent_sets(
+        k_cong, model.table, model.pos, scene.pos, scene.normal,
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+        cfg,
+    )
+    b, k, _ = sets.quads.shape
+    scene_quad = jnp.broadcast_to(
+        scene.pos[bases.indices][:, None], (b, k, 4, 3)
+    )
+    model_quad = model.pos[sets.quads]
+    fits = fit_ops.fit_congruent_pairs(
+        scene_quad, model_quad, scene.centroid, model.centroid
+    )
+    valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
+    transforms = fits["transform"].reshape(-1, 4, 4)
+    world = fits["world_transform"].reshape(-1, 4, 4)
+
+    mc = jnp.sum(model.valid.astype(jnp.float32))
+    if coarse_to_fine:
+        scores = scoring.score_hybrid(
+            transforms, valid, model.pos, model.normal, model.valid,
+            scene.field, scene.grid, scene.pos, scene.normal, class_prob,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+        )
+    else:
+        scores = scoring.score_transforms(
+            transforms, valid, model.pos, model.normal, model.valid,
+            scene.grid, scene.pos, scene.normal, class_prob,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+        )
+    return scores, transforms, world, valid
 
 
 def matching_step_sharded(
@@ -55,50 +144,10 @@ def matching_step_sharded(
         # decorrelate the per-device RNG streams
         dev = jax.lax.axis_index(HYP_AXIS)
         key_local = jax.random.fold_in(key, dev)
-        k_sample, k_cong = jax.random.split(key_local)
-
-        bases = sampling.sample_class_bases(
-            k_sample, model.table, scene.pos, scene.normal,
-            class_prob, scene.valid,
-            num_bases=b_local,
-            tr_disc=cfg.ppf_tr_discretization,
-            rot_disc=cfg.ppf_rot_discretization,
-            plane_threshold=cfg.plane_threshold,
-            min_distance_base=cfg.min_distance_base,
-            internal_angle_threshold=cfg.internal_angle_threshold,
+        scores, transforms, world, valid = _local_hypotheses(
+            key_local, model, scene, class_prob, None, cfg, b_local,
+            coarse_to_fine,
         )
-        sets = congruent.extract_congruent_sets(
-            k_cong, model.table, model.pos, scene.pos, scene.normal,
-            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-            cfg,
-        )
-        b, k, _ = sets.quads.shape
-        scene_quad = jnp.broadcast_to(
-            scene.pos[bases.indices][:, None], (b, k, 4, 3)
-        )
-        model_quad = model.pos[sets.quads]
-        fits = fit_ops.fit_congruent_pairs(
-            scene_quad, model_quad, scene.centroid, model.centroid
-        )
-        valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
-        transforms = fits["transform"].reshape(-1, 4, 4)
-        world = fits["world_transform"].reshape(-1, 4, 4)
-
-        score_args = (
-            transforms, valid, model.pos, model.normal, model.valid,
-            scene.grid, scene.pos, scene.normal, class_prob,
-            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-        )
-        mc = jnp.sum(model.valid.astype(jnp.float32))
-        if coarse_to_fine:
-            scores = scoring.score_hybrid(
-                transforms, valid, model.pos, model.normal, model.valid,
-                scene.field, scene.grid, scene.pos, scene.normal, class_prob,
-                cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-                model_count=mc,
-            )
-        else:
-            scores = scoring.score_transforms(*score_args, model_count=mc)
 
         # local best -> global argmax over the mesh
         li = jnp.argmax(scores)
@@ -120,3 +169,147 @@ def matching_step_sharded(
         check_vma=False,
     )
     return jax.jit(fn)(model, scene, scene.class_prob, key)
+
+
+@partial(jax.jit, static_argnames=("tr", "rot"))
+def _exists_bits(table, pos, normal, tr, rot):
+    return sampling.build_exists_bits(table, pos, normal, tr, rot)
+
+
+def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
+                         keep_local: int, coarse_to_fine: bool):
+    """Jitted one-chunk sweep program over the mesh: every device runs
+    b_local bases end to end, keeps its local top-k scored poses, and the
+    pools are all_gathered so every device (and the host) sees the full
+    [n_dev * keep_local] chunk pool. The only collectives are the two
+    all_gathers of the small top-k pools plus a psum of the valid count —
+    they ride ICI; the hypothesis work never crosses devices."""
+
+    def body(model, scene, class_prob, bits, key):
+        dev = jax.lax.axis_index(HYP_AXIS)
+        key_local = jax.random.fold_in(key, dev)
+        scores, transforms, world, valid = _local_hypotheses(
+            key_local, model, scene, class_prob, bits, cfg, b_local,
+            coarse_to_fine,
+        )
+        top, idx = jax.lax.top_k(scores, keep_local)
+        pool_s = jax.lax.all_gather(top, HYP_AXIS).reshape(-1)
+        pool_t = jax.lax.all_gather(transforms[idx], HYP_AXIS).reshape(-1, 4, 4)
+        pool_w = jax.lax.all_gather(world[idx], HYP_AXIS).reshape(-1, 4, 4)
+        n_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), HYP_AXIS)
+        return pool_s, pool_t, pool_w, n_valid
+
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    ))
+
+
+def run_sweep_sharded(
+    mesh: Mesh,
+    model: ModelPack,
+    scene: ScenePack,
+    cfg: MatchConfig,
+    total_bases: int,
+    chunk: int = 2048,
+    keep_per_chunk: int = 256,
+    seed: int | None = None,
+    coarse_to_fine: bool = True,
+    verbose: bool = True,
+):
+    """Large hypothesis sweep over the mesh (the H-axis scale-out of
+    SURVEY.md section 5): `total_bases` class-path bases are processed in
+    chunks of `chunk`, each chunk split evenly across devices; per-chunk
+    top-k pools are gathered, and the pooled winners are ICP-polished and
+    greedily clustered on the host. Multi-chip counterpart of
+    StocsEstimator.run_sweep with identical return shape:
+    (best_lcp, best_world_transform, clustered_transforms, clustered_lcp,
+    stats)."""
+    from .. import clustering, icp
+
+    n_dev = mesh.devices.size
+    if chunk % n_dev:
+        raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
+    b_local = chunk // n_dev
+    keep_local = max(1, keep_per_chunk // n_dev)
+    n_chunks = -(-total_bases // chunk)
+
+    key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    t_start = time.perf_counter()
+    bits = _exists_bits(
+        model.table, scene.pos, scene.normal,
+        cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
+    )
+    step = _sweep_chunk_program(mesh, cfg, b_local, keep_local, coarse_to_fine)
+
+    pool_s, pool_t, pool_w = [], [], []
+    n_hyp_total = 0
+    for ci in range(n_chunks):
+        key = jax.random.fold_in(key0, ci)
+        s, t, w, n_valid = step(model, scene, scene.class_prob, bits, key)
+        pool_s.append(s)
+        pool_t.append(t)
+        pool_w.append(w)
+        n_hyp_total += int(n_valid)
+    pool_s = jnp.concatenate(pool_s)
+    pool_t = jnp.concatenate(pool_t)
+    pool_w = jnp.concatenate(pool_w)
+
+    best_i = int(jnp.argmax(pool_s))
+    best_lcp = float(pool_s[best_i])
+    best_w = np.asarray(pool_w[best_i])
+
+    # ICP polish of the sweep winner (same policy as the single-chip sweep)
+    if cfg.refine_best_pose and best_lcp > 0:
+        refined = icp.refine_pose(
+            pool_t[best_i], model.pos, model.valid,
+            scene.icp_grid, scene.pos, scene.normal,
+            max_corr_dist=cfg.icp_max_corr_dist,
+            iterations=cfg.icp_iterations,
+        )
+        new_lcp = float(scoring.score_transforms(
+            refined[None], jnp.ones(1, bool),
+            model.pos, model.normal, model.valid,
+            scene.grid, scene.pos, scene.normal, scene.class_prob,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=jnp.sum(model.valid.astype(jnp.float32)),
+        )[0])
+        if new_lcp >= best_lcp:
+            a = np.eye(4, dtype=np.float32)
+            a[:3, 3] = np.asarray(scene.centroid)
+            bmat = np.eye(4, dtype=np.float32)
+            bmat[:3, 3] = -np.asarray(model.centroid)
+            best_w = a @ np.asarray(refined) @ bmat
+            best_lcp = new_lcp
+    elapsed = time.perf_counter() - t_start
+
+    cidx, cmask = clustering.greedy_clustering(
+        pool_w, pool_s, pool_s > 0,
+        cfg.cluster_acceptable_fraction, jnp.float32(best_lcp),
+        cfg.cluster_max_pose_count, cfg.cluster_min_distance,
+        cfg.cluster_min_angle,
+        jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
+    )
+    sel = np.asarray(cidx)[np.asarray(cmask)]
+    stats = {
+        "total_bases": total_bases,
+        "hypotheses": n_hyp_total,
+        "seconds": elapsed,
+        "bases_per_sec": total_bases / elapsed,
+        "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
+        "devices": n_dev,
+    }
+    if verbose:
+        print(
+            f"sharded sweep ({n_dev} devices): {total_bases} bases -> "
+            f"{n_hyp_total} hypotheses in {elapsed:.1f}s "
+            f"({stats['bases_per_sec']:.0f} bases/s), best lcp "
+            f"{best_lcp:.3f}, {len(sel)} clusters"
+        )
+    return (
+        best_lcp, best_w,
+        np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+    )

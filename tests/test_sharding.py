@@ -134,6 +134,63 @@ def test_sharded_deterministic_per_key(setup):
     assert np.isfinite(float(c[0]))
 
 
+def test_sharded_sweep_finds_object_and_is_deterministic(setup):
+    model, scene, cfg = setup
+    from model_matching_tpu.parallel.sharding import run_sweep_sharded
+
+    mesh = make_mesh()
+    out1 = run_sweep_sharded(
+        mesh, model, scene, cfg, total_bases=64, chunk=16,
+        keep_per_chunk=16, seed=2, verbose=False,
+    )
+    out2 = run_sweep_sharded(
+        mesh, model, scene, cfg, total_bases=64, chunk=16,
+        keep_per_chunk=16, seed=2, verbose=False,
+    )
+    best_lcp, best_w, cl_t, cl_s, stats = out1
+    assert stats["devices"] == 8
+    assert stats["hypotheses"] > 0
+    # the synthetic object carries 0.9 probability mass; a 64-base sweep
+    # must find it (single-chip run_sweep does at this budget)
+    assert best_lcp > 0.5, best_lcp
+    assert best_w.shape == (4, 4)
+    assert len(cl_s) >= 1 and cl_s[0] == pytest.approx(max(cl_s))
+    # deterministic given the seed
+    assert out2[0] == pytest.approx(best_lcp)
+    np.testing.assert_allclose(out2[1], best_w, atol=1e-6)
+
+
+def test_sharded_sweep_matches_single_chip_quality(setup):
+    """Same budget through the single-chip sweep loop: the mesh version must
+    find an equal-quality pose (different RNG streams, so scores are
+    compared, not bit patterns)."""
+    from model_matching_tpu.estimator import StocsEstimator
+    from model_matching_tpu.parallel.sharding import run_sweep_sharded
+
+    model, scene, cfg = setup
+    import dataclasses
+
+    cfg1 = dataclasses.replace(cfg, max_scene_points=512)
+    mesh = make_mesh()
+    sh_lcp, _w, _ct, _cs, _stats = run_sweep_sharded(
+        mesh, model, scene, cfg1, total_bases=64, chunk=16,
+        keep_per_chunk=16, seed=3, verbose=False,
+    )
+    est = StocsEstimator(model, scene, cfg1)
+    sc_lcp, _w2, _ct2, _cs2, _st2 = est.run_sweep(
+        64, chunk=16, keep_per_chunk=16, seed=3, verbose=False
+    )
+    assert abs(sh_lcp - sc_lcp) < 0.15, (sh_lcp, sc_lcp)
+
+
+def test_init_distributed_noop_without_cluster(monkeypatch):
+    from model_matching_tpu.parallel.sharding import init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    assert init_distributed() == 1
+
+
 def test_sharded_bases_divisibility_error(setup):
     model, scene, cfg = setup
     import dataclasses
