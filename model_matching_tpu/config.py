@@ -114,17 +114,14 @@ class MatchConfig:
     # Max model points after preprocessing.
     max_model_points: int = 4096
     # Max pairs fetched from one PPF bin during congruent extraction. The
-    # two-tier dispatch in congruent.py runs a 1024-cap matrix for typical
-    # bins, so this worst-case cap only prices the rare dense-bin base
-    # (YCB bowl peaks at ~5.3k pairs in one bin).
-    max_pairs_per_bin: int = 8192
-    # Max congruent sets retained per base before the maximum_congruent_sets
-    # subsample (reference keeps all, stocs.cpp:860-866).
-    max_congruent_per_base: int = 1024
+    # tiered dispatch in congruent.py runs a 1024-cap matrix for typical
+    # bins and Q-blocks the top tier (gate matrix <= [cap, 4096]), so this
+    # worst-case cap only prices the rare dense-bin base. 16384 covers the
+    # densest observed fixture bin (YCB bowl union ~11.6k pairs) without
+    # truncation.
+    max_pairs_per_bin: int = 16384
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
-    # Open-addressing probe bound for the device PPF table.
-    ppf_max_probes: int = 32
 
     # Angular gate half-width (cosine units) applied between pair directions in
     # congruent extraction. The reference's IndexedNormalSet cone rasterization
@@ -168,6 +165,20 @@ class MatchConfig:
     # on every draw (stocs.cpp:135) and is therefore non-deterministic; we are
     # deterministic given this seed.
     seed: int = 0
+
+    def __post_init__(self):
+        # the packed PPF key's base-64 angle radix aliases below rot_disc=4
+        # (ops/ppf.py:28-31); fail at config construction, not mid-pipeline
+        if self.ppf_rot_discretization < 4:
+            raise ValueError(
+                f"ppf_rot_discretization must be >= 4, got "
+                f"{self.ppf_rot_discretization}"
+            )
+        if self.ppf_tr_discretization < 1:
+            raise ValueError(
+                f"ppf_tr_discretization must be >= 1, got "
+                f"{self.ppf_tr_discretization}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -103,65 +103,48 @@ def extract_congruent_sets(
             * (d23 / jnp.maximum(jnp.linalg.norm(d23), 1e-30))
         )
 
-        def match_block(cap):
-            """Gather up to `cap` pairs per side and run the [cap, cap]
-            gate matrix + random-subsample selection."""
+        def seg_points(pairs, inv):
+            a = unit_pos[pairs[:, 0]]
+            bb = unit_pos[pairs[:, 1]]
+            e_unit = a + inv * (bb - a)
+            aw = model_pos[pairs[:, 0]]
+            bw = model_pos[pairs[:, 1]]
+            e_world = aw + inv * (bw - aw)
+            dirs = bb - a
+            dirs = dirs / jnp.maximum(
+                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+            )
+            return e_unit, e_world, dirs
+
+        if cfg.congruent_distance_mode == "cell":
+            dist_thresh = (
+                cfg.distance_threshold
+                if cfg.congruent_sqdist_quirk
+                else cfg.distance_threshold**2
+            )
+        else:
+            dist_thresh = cfg.distance_threshold**2
+
+        def match_block(cap, q_block=None):
+            """Gather up to `cap` pairs per side and run the gate matrix +
+            random-subsample selection. The Q side is processed in chunks of
+            `q_block` (default: one chunk), bounding the [cap, q_block] gate
+            matrix so the densest PPF bins (VERDICT r1: an 11.6k-pair YCB
+            bin vs the old 8192 cap) fit without a monolithic [cap, cap]
+            intermediate."""
+            qb = q_block or cap
+            nb = cap // qb
             p_pairs, p_ok, _pt = gather_pairs(table, off1, cnt1, cap)
             q_pairs, q_ok, _qt = gather_pairs(table, off2, cnt2, cap)
 
-            def seg_points(pairs, inv):
-                a = unit_pos[pairs[:, 0]]
-                bb = unit_pos[pairs[:, 1]]
-                e_unit = a + inv * (bb - a)
-                aw = model_pos[pairs[:, 0]]
-                bw = model_pos[pairs[:, 1]]
-                e_world = aw + inv * (bw - aw)
-                dirs = bb - a
-                dirs = dirs / jnp.maximum(
-                    jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
-                )
-                return e_unit, e_world, dirs
-
             e1_unit, e1_world, n1 = seg_points(p_pairs, inv1)
-            e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
-
             cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
-            cell2 = jnp.floor(e2_unit * eg_size).astype(jnp.int32)
-
-            match = jnp.ones((cap, cap), bool)
-            if cfg.congruent_distance_mode == "cell":
-                # pack the 3 cell coordinates into one int so equality is a
-                # single [P, Q] compare (eg_size <= 1024 always: unit cube /
-                # power-of-two cell of ~eps)
-                pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
-                match &= pack(cell1)[:, None] == pack(cell2)[None, :]
-                thresh = (
-                    cfg.distance_threshold
-                    if cfg.congruent_sqdist_quirk
-                    else cfg.distance_threshold**2
-                )
-            else:
-                thresh = cfg.distance_threshold**2
-
-            # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides the
-            # MXU, avoiding a [P, Q, 3] broadcast intermediate
+            # pack the 3 cell coordinates into one int so equality is a
+            # single [P, Q] compare (eg_size <= 1024 always: unit cube /
+            # power-of-two cell of ~eps)
+            pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
+            cell1p = pack(cell1)
             sq1 = jnp.sum(e1_world * e1_world, axis=-1)
-            sq2 = jnp.sum(e2_world * e2_world, axis=-1)
-            d2 = (
-                sq1[:, None] + sq2[None, :]
-                - 2.0 * jnp.dot(
-                    e1_world, e2_world.T, preferred_element_type=jnp.float32
-                )
-            )
-            match &= d2 <= thresh
-
-            if cfg.congruent_cos_tolerance >= 0:
-                cos = n1 @ n2.T
-                match &= jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
-
-            match &= p_ok[:, None] & q_ok[None, :] & bvalid
-
-            total = jnp.sum(match.astype(jnp.int32))
 
             # keyed random subsample to k_cap. A full top_k over the [P, Q]
             # matrix is slow on TPU, so first reduce each 64-element segment
@@ -175,22 +158,73 @@ def extract_congruent_sets(
 
             seg = 64
             salt = jax.random.bits(bkey, dtype=jnp.uint32)
-            ids = jax.lax.broadcasted_iota(
-                jnp.uint32, match.shape, 0
-            ) * jnp.uint32(cap) + jax.lax.broadcasted_iota(
-                jnp.uint32, match.shape, 1
-            )
-            rand = _mix32_jnp(ids ^ salt).astype(jnp.float32) * jnp.float32(
-                2**-32
-            )
-            keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
-            seg_best = jnp.max(keyed, axis=1)
-            seg_arg = jnp.argmax(keyed, axis=1).astype(jnp.int32)
+
+            def one_block(blk):
+                bi, qp, qok = blk
+                e2_unit, e2_world, n2 = seg_points(qp, inv2)
+                match = jnp.ones((cap, qb), bool)
+                if cfg.congruent_distance_mode == "cell":
+                    cell2p = pack(
+                        jnp.floor(e2_unit * eg_size).astype(jnp.int32)
+                    )
+                    match &= cell1p[:, None] == cell2p[None, :]
+                # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides
+                # the MXU, avoiding a [P, Q, 3] broadcast intermediate
+                sq2 = jnp.sum(e2_world * e2_world, axis=-1)
+                d2 = (
+                    sq1[:, None] + sq2[None, :]
+                    - 2.0 * jnp.dot(
+                        e1_world, e2_world.T,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                match &= d2 <= dist_thresh
+                if cfg.congruent_cos_tolerance >= 0:
+                    cos = n1 @ n2.T
+                    match &= (
+                        jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
+                    )
+                match &= p_ok[:, None] & qok[None, :] & bvalid
+
+                ids = jax.lax.broadcasted_iota(
+                    jnp.uint32, match.shape, 0
+                ) * jnp.uint32(cap) + jnp.uint32(qb) * bi + (
+                    jax.lax.broadcasted_iota(jnp.uint32, match.shape, 1)
+                )
+                rand = _mix32_jnp(ids ^ salt).astype(
+                    jnp.float32
+                ) * jnp.float32(2**-32)
+                keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
+                return (
+                    jnp.max(keyed, axis=1),
+                    jnp.argmax(keyed, axis=1).astype(jnp.int32),
+                    jnp.sum(match.astype(jnp.int32)),
+                )
+
+            if nb == 1:
+                seg_best, seg_arg, total = one_block(
+                    (jnp.uint32(0), q_pairs, q_ok)
+                )
+            else:
+                seg_best, seg_arg, btotals = jax.lax.map(
+                    one_block,
+                    (
+                        jnp.arange(nb, dtype=jnp.uint32),
+                        q_pairs.reshape(nb, qb, 2),
+                        q_ok.reshape(nb, qb),
+                    ),
+                )
+                seg_best = seg_best.reshape(-1)
+                seg_arg = seg_arg.reshape(-1)
+                total = jnp.sum(btotals)
+
+            segs_per_block = (cap * qb) // seg
             top, seg_idx = jax.lax.top_k(seg_best, k_cap)
             quad_valid = top >= 0.0
-            flat_idx = seg_idx * seg + seg_arg[seg_idx]
-            pi = flat_idx // cap
-            qi = flat_idx % cap
+            blk = seg_idx // segs_per_block
+            within = (seg_idx % segs_per_block) * seg + seg_arg[seg_idx]
+            pi = within // qb
+            qi = blk * qb + within % qb
             quads = jnp.stack(
                 [
                     p_pairs[pi, 0], p_pairs[pi, 1],
@@ -201,15 +235,17 @@ def extract_congruent_sets(
             return quads, quad_valid, total
 
         # tiered dispatch: most bins hold far fewer than p_cap pairs, and a
-        # cap-c branch does (p_cap/c)^2 times less matrix work
-        tiers = [c for c in (1024, 4096) if c < p_cap] + [p_cap]
-        if len(tiers) == 1:
-            quads, quad_valid, total = match_block(p_cap)
+        # cap-c branch does (p_cap/c)^2 times less matrix work; the top tier
+        # blocks the Q axis so its gate matrix stays <= [p_cap, 4096]
+        top_qb = 4096 if p_cap > 8192 else None
+        tiers = [c for c in (1024, 4096) if c < p_cap]
+        if not tiers:
+            quads, quad_valid, total = match_block(p_cap, top_qb)
         else:
             def dispatch(remaining):
+                if not remaining:
+                    return match_block(p_cap, top_qb)
                 cap = remaining[0]
-                if len(remaining) == 1:
-                    return match_block(cap)
                 return jax.lax.cond(
                     (p_total <= cap) & (q_total <= cap),
                     lambda _: match_block(cap),

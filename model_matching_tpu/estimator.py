@@ -143,6 +143,21 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def _phase_field_scores(poses: PoseCandidates, model: ModelPack,
+                        scene: ScenePack, class_prob, cfg: MatchConfig):
+    """Full-model dense-field LCP for every hypothesis (the ladder's
+    mid-stage scorer over the whole pool) — used to backfill non-leader
+    scores for clustering."""
+    return scoring.score_transforms_field(
+        poses.transform, poses.valid,
+        model.pos, model.normal, model.valid,
+        scene.field, class_prob,
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+        model_count=jnp.sum(model.valid.astype(jnp.float32)),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def _phase_refine(best_t, model: ModelPack, scene: ScenePack, class_prob,
                   cfg: MatchConfig):
     refined = icp.refine_pose(
@@ -414,9 +429,23 @@ class StocsEstimator:
         """Symmetry-aware greedy clustering of the scored hypothesis set
         (the reference's L4 library capability, pose_clustering.cpp:79-121).
         Returns (world_transforms [K, 4, 4], lcp [K]) of the cluster
-        representatives."""
+        representatives.
+
+        The reference clusters every scored hypothesis; a coarse-to-fine run
+        stores exact LCP only for the ladder leaders (-1 elsewhere,
+        scoring.score_hybrid). To keep the full pool clusterable, non-leader
+        entries are filled with their dense-field LCP estimate (the ladder's
+        own mid-stage scorer) — leaders keep exact scores."""
         cfg = self.cfg
         poses = result.poses
+        lcp = poses.lcp
+        needs_fill = bool(jnp.any(poses.valid & (lcp < 0)))
+        if needs_fill:
+            field_scores = _phase_field_scores(
+                poses, self.model, self.scene, self.class_prob, cfg
+            )
+            lcp = jnp.where(lcp >= 0, lcp, field_scores)
+            poses = dataclasses.replace(poses, lcp=lcp)
         idx, mask = clustering.greedy_clustering(
             poses.world_transform, poses.lcp, poses.valid,
             cfg.cluster_acceptable_fraction,

@@ -87,6 +87,17 @@ def build_neighbor_grid(
     cum_before = np.cumsum(counts_per, axis=0) - counts_per
     take = np.clip(cell_cap - cum_before, 0, counts_per)  # [27, U]
     total_per_cell = take.sum(axis=0)
+    dropped = int(counts_per.sum() - total_per_cell.sum())
+    if dropped:
+        # a truncated cell can hide the true nearest neighbor from
+        # query_restricted_nn; surface it like the other capacity overflows
+        n_over = int((counts_per.sum(axis=0) > cell_cap).sum())
+        print(
+            f"WARNING: neighbor grid dropped {dropped} candidate entries in "
+            f"{n_over}/{len(dilated_keys)} cells (cell_cap={cell_cap}, "
+            f"densest cell {int(counts_per.sum(axis=0).max())}) — NN queries "
+            f"in those cells may miss the true nearest point; raise cell_cap"
+        )
     cand_offset[1:] = np.cumsum(total_per_cell)[:-1]
     cand_count[:] = total_per_cell
 

@@ -238,6 +238,15 @@ def build_ppf_table(
 ) -> Tuple["PPFTable", float]:
     """Offline O(M^2) build over all ordered pairs (reference:
     src/stocs.cpp:63-78). Returns (table, max pairwise distance)."""
+    # the base-64 angle packing of pack_key/ppf_keys_fast aliases when an
+    # angle quotient reaches 64, i.e. rot_disc <= 3 (ops/ppf.py:28-31)
+    if rot_disc < 4:
+        raise ValueError(
+            f"ppf_rot_discretization must be >= 4 (got {rot_disc}): the "
+            f"packed angle radix of 64 would alias keys"
+        )
+    if tr_disc < 1:
+        raise ValueError(f"ppf_tr_discretization must be >= 1 (got {tr_disc})")
     m = pos.shape[0]
     pos = np.asarray(pos, dtype=np.float32)
     normal = np.asarray(normal, dtype=np.float32)

@@ -116,3 +116,90 @@ def test_congruent_sets_come_from_matching_bins(rng):
         total = int(np.asarray(sets.total_found)[bi])
         if identity_same_cell and total <= cfg.maximum_congruent_sets:
             assert found_identity, (bi, total)
+
+
+def test_dense_bin_blocked_tier_decodes_correctly():
+    """PPF bins beyond 8192 pairs take the Q-blocked top tier
+    (congruent.py match_block with q_block=4096); the decoded quads must
+    still satisfy provenance and the geometric gates — this guards the
+    block/segment index arithmetic."""
+    rng = np.random.default_rng(0)
+    n = 140
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    # sphere of radius 0.5 + coarse discretizations concentrate most pairs
+    # into a handful of bins (densest ~14.6k pairs, between 8192 and 16384)
+    pos = (0.5 * v).astype(np.float32)
+    nrm = v.astype(np.float32)
+    tr_disc, rot_disc = 1000, 180
+    table, _ = ppf_table.build_ppf_table(pos, nrm, tr_disc, rot_disc)
+
+    cfg = MatchConfig(
+        ppf_tr_discretization=tr_disc,
+        ppf_rot_discretization=rot_disc,
+        distance_threshold=0.05,
+        max_pairs_per_bin=16384,
+        maximum_congruent_sets=128,
+        congruent_cos_tolerance=-1.0,  # pure distance gate: easy to verify
+    )
+
+    # find a base whose two segment features hit the dense bin
+    dense_bins = None
+    for _try in range(300):
+        idx = rng.choice(n, 4, replace=False)
+        perm, i1, i2, _d = invariants.reorder_base(jnp.asarray(pos[idx]))
+        b = idx[np.asarray(perm)]
+        bins1 = ref_ppf(pos[b[0]], nrm[b[0]], pos[b[1]], nrm[b[1]],
+                        tr_disc, rot_disc)
+        bins2 = ref_ppf(pos[b[2]], nrm[b[2]], pos[b[3]], nrm[b[3]],
+                        tr_disc, rot_disc)
+        o1, c1 = ppf_table.lookup_pair_range(table, jnp.asarray(bins1))
+        o2, c2 = ppf_table.lookup_pair_range(table, jnp.asarray(bins2))
+        t1 = int(np.sum(np.asarray(c1)))
+        t2 = int(np.sum(np.asarray(c2)))
+        if t1 > 8192 and t2 > 8192:
+            dense_bins = (b, float(i1), float(i2), t1, t2)
+            break
+    assert dense_bins is not None, "no dense-bin base found"
+    b, i1, i2, t1, t2 = dense_bins
+    assert max(t1, t2) <= cfg.max_pairs_per_bin, "cap must not truncate"
+
+    sets = congruent.extract_congruent_sets(
+        jax.random.PRNGKey(1), table,
+        jnp.asarray(pos), jnp.asarray(pos), jnp.asarray(nrm),
+        jnp.asarray(b[None].astype(np.int32)),
+        jnp.asarray([i1], np.float32), jnp.asarray([i2], np.float32),
+        jnp.ones(1, bool), cfg,
+    )
+    quads = np.asarray(sets.quads)[0]
+    qvalid = np.asarray(sets.quad_valid)[0]
+    assert int(np.asarray(sets.pair_counts).max()) > 8192
+    assert qvalid.any(), "dense self-match must produce congruent sets"
+
+    # recompute the gates for every decoded quad
+    lo, hi = pos.min(0), pos.max(0)
+    center, ratio = (lo + hi) / 2, (hi - lo + 0.001).max()
+    unit = (pos - center) / ratio + 0.5
+    eg = 2.0 ** np.trunc(-np.log2(cfg.distance_threshold / ratio))
+    for k in np.flatnonzero(qvalid):
+        q = quads[k]
+        assert len({q[0], q[1]}) == 2 and len({q[2], q[3]}) == 2
+        e1u = unit[q[0]] + i1 * (unit[q[1]] - unit[q[0]])
+        e2u = unit[q[2]] + i2 * (unit[q[3]] - unit[q[2]])
+        assert (np.floor(e1u * eg) == np.floor(e2u * eg)).all(), (k, q)
+        e1 = pos[q[0]] + i1 * (pos[q[1]] - pos[q[0]])
+        e2 = pos[q[2]] + i2 * (pos[q[3]] - pos[q[2]])
+        assert ((e1 - e2) ** 2).sum() <= cfg.distance_threshold * 1.0001
+
+
+def test_config_validates_ppf_discretization():
+    import pytest
+
+    with pytest.raises(ValueError, match="rot_discretization"):
+        MatchConfig(ppf_rot_discretization=3)
+    with pytest.raises(ValueError, match="tr_discretization"):
+        MatchConfig(ppf_tr_discretization=0)
+    with pytest.raises(ValueError, match="radix"):
+        ppf_table.build_ppf_table(
+            np.zeros((4, 3), np.float32), np.ones((4, 3), np.float32), 5, 3
+        )

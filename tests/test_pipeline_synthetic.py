@@ -168,3 +168,27 @@ def test_deterministic_given_seed(setup):
     # different seed -> different draw (may rarely coincide; index differing
     # is the expected signal)
     assert (r3.best_index != r1.best_index) or (r3.best_lcp != r1.best_lcp)
+
+
+def test_cluster_poses_covers_full_pool_after_ladder(setup):
+    """A coarse-to-fine run stores exact LCP only for the ladder leaders;
+    cluster_poses must backfill the rest with dense-field scores so the
+    greedy clustering sees the whole hypothesis pool like the reference
+    (pose_clustering.cpp:79-121), not just the top-256 subset."""
+    model, scene, cfg, gt, _ = setup
+    est = StocsEstimator(model, scene, cfg)
+    ctf = est.run(verbose=False, coarse_to_fine=True)
+    exact = est.run(verbose=False, coarse_to_fine=False)
+
+    n_valid = int(np.asarray(ctf.poses.valid).sum())
+    n_real = int((np.asarray(ctf.poses.lcp) >= 0).sum())
+    assert n_real < n_valid, "test needs a truncating ladder run"
+
+    t_ctf, s_ctf = est.cluster_poses(ctf)
+    t_ex, s_ex = est.cluster_poses(exact)
+    assert len(s_ctf) >= 1
+    # backfilled scores are field estimates but the representative set must
+    # be comparable to clustering the exactly-scored pool
+    assert abs(len(s_ctf) - len(s_ex)) <= 2, (len(s_ctf), len(s_ex))
+    assert s_ctf[0] == pytest.approx(ctf.best_lcp, abs=1e-5)
+    assert (s_ctf >= 0).all(), "no -1 sentinel may survive into clustering"
