@@ -50,6 +50,35 @@ def test_flood_fill_matches_bfs(rng):
         np.testing.assert_array_equal(got, want)
 
 
+def test_flood_fill_matches_bfs_spiral(rng):
+    """Worst-case bend count: a spiral corridor. Exercises the sweep
+    propagation's convergence, not just simple rooms."""
+    h = w = 64
+    edge_free = np.ones((h, w), bool)
+    # build a rectangular spiral of walls
+    top, bot, left, right = 2, h - 3, 2, w - 3
+    gap = 3
+    while top < bot and left < right:
+        edge_free[top, left:right] = False
+        edge_free[top:bot, right] = False
+        edge_free[bot, left + gap:right] = False
+        edge_free[top + gap:bot, left] = False
+        top += gap
+        bot -= gap
+        left += gap
+        right -= gap
+    seed = np.array([h // 2, w // 2], np.int32)
+    edge_free[seed[0], seed[1]] = True
+    want = ref_bfs(seed, edge_free, 1000.0)
+    got = np.asarray(
+        flood.flood_fill(
+            jnp.asarray(seed), jnp.asarray(edge_free), 1000.0, max_iters=512
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 100  # the spiral must actually be traversed
+
+
 def test_flood_fill_blocked_seed():
     edge_free = np.zeros((16, 16), bool)
     got = np.asarray(
@@ -60,6 +89,45 @@ def test_flood_fill_blocked_seed():
     )
     assert got[8, 8]  # seed always marked, like the reference
     assert got.sum() == 1
+
+
+def ref_bfs_local(seed, edge_free, max_dist, depth_limit=100):
+    """Literal transcription of generate_local_segmentation_mask
+    (src/rgbd.cpp:369-420): BFS additionally bounded by graph depth."""
+    h, w = edge_free.shape
+    closed = np.zeros((h, w), bool)
+    q = deque([(tuple(seed), 0)])
+    closed[seed[0], seed[1]] = True
+    while q:
+        (r, c), depth = q.popleft()
+        for i in range(r - 1, r + 2):
+            for j in range(c - 1, c + 2):
+                if i < 0 or j < 0 or i >= h or j >= w:
+                    continue
+                d = np.sqrt((seed[0] - i) ** 2 + (seed[1] - j) ** 2)
+                if (not closed[i, j] and edge_free[i, j] and d < max_dist
+                        and depth + 1 < depth_limit):
+                    closed[i, j] = True
+                    q.append(((i, j), depth + 1))
+    return closed
+
+
+def test_local_flood_fill_matches_depth_bounded_bfs(rng):
+    h, w = 48, 64
+    edge_free = np.ones((h, w), bool)
+    edge_free[20, 5:40] = False
+    edge_free[rng.integers(0, h, 30), rng.integers(0, w, 30)] = False
+    seed = np.array([10, 10], np.int32)
+    edge_free[10, 10] = True
+    for depth in (5, 12, 200):
+        want = ref_bfs_local(seed, edge_free, 100.0, depth_limit=depth)
+        got = np.asarray(
+            flood.local_flood_fill(
+                jnp.asarray(seed), jnp.asarray(edge_free), 100.0,
+                depth_limit=depth,
+            )
+        )
+        np.testing.assert_array_equal(got, want)
 
 
 def test_prune_edge_points():
