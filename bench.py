@@ -96,7 +96,9 @@ def main():
     from model_matching_tpu.estimator import StocsEstimator
 
     est = StocsEstimator(model, scene, cfg)
-    est.run_sweep(2048, chunk=2048, verbose=False)  # compile + warm up
+    # warm up with the SAME total: the pooled top-k / clustering shapes
+    # depend on the chunk count, and a shape change recompiles mid-measure
+    est.run_sweep(8192, chunk=2048, verbose=False)
     _b, _w, _ct, _cs, stats = est.run_sweep(8192, chunk=2048, verbose=False)
     bases_per_sec = stats["bases_per_sec"]
 

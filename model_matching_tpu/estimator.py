@@ -265,11 +265,14 @@ class StocsEstimator:
                   f"({n_hyp} hypotheses) in "
                   f"{(timings['congruent_sets']+timings['rigid_fit'])*1e6:.0f} us")
         pair_max = int(jnp.max(sets.pair_counts))
-        if pair_max > cfg.max_pairs_per_bin and verbose:
-            print(
-                f"WARNING: a PPF bin held {pair_max} pairs; only "
+        if pair_max > cfg.max_pairs_per_bin:
+            from .utils.log import warn
+
+            warn(
+                f"a PPF bin held {pair_max} pairs; only "
                 f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
-                f"raise the cap for full recall"
+                f"raise the cap for full recall",
+                pair_max=pair_max, cap=cfg.max_pairs_per_bin,
             )
 
         t0 = time.perf_counter()
@@ -318,6 +321,14 @@ class StocsEstimator:
         self.last_poses = poses
         hyps_per_sec = (
             n_hyp / timings["scoring"] if timings["scoring"] > 0 else 0.0
+        )
+        from .utils.log import log_event
+
+        log_event(
+            "stocs_run", best_lcp=best_lcp, best_index=best_index,
+            bases=n_bases, hypotheses=n_hyp,
+            hypotheses_per_sec=round(hyps_per_sec, 1),
+            timings_ms={k: round(v * 1e3, 1) for k, v in timings.items()},
         )
         return StocsResult(
             poses=poses,
@@ -414,6 +425,10 @@ class StocsEstimator:
             "bases_per_sec": total_bases / elapsed,
             "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
         }
+        from .utils.log import log_event
+
+        log_event("stocs_sweep", best_lcp=best_lcp, clusters=len(sel),
+                  **stats)
         if verbose:
             print(
                 f"sweep: {total_bases} bases -> {n_hyp_total} hypotheses in "

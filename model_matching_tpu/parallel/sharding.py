@@ -302,6 +302,10 @@ def run_sweep_sharded(
         "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
         "devices": n_dev,
     }
+    from ..utils.log import log_event
+
+    log_event("stocs_sweep_sharded", best_lcp=best_lcp, clusters=len(sel),
+              **stats)
     if verbose:
         print(
             f"sharded sweep ({n_dev} devices): {total_bases} bases -> "

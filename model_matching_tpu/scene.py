@@ -186,9 +186,12 @@ def load_scene_multi(
     )
     truncated = int(out["truncated"])
     if truncated > 0:
-        print(
-            f"WARNING: scene capacity max_scene_points dropped {truncated} "
-            f"valid points — raise MatchConfig.max_scene_points"
+        from .utils.log import warn
+
+        warn(
+            f"scene capacity max_scene_points dropped {truncated} valid "
+            f"points — raise MatchConfig.max_scene_points",
+            dropped=truncated, cap=cfg.max_scene_points,
         )
     host_pos = np.asarray(out["pos"])
     host_valid = np.asarray(out["valid"])
@@ -200,7 +203,7 @@ def load_scene_multi(
         cfg.distance_threshold,
     )
     icp_grid = build_neighbor_grid(
-        host_pos[host_valid], cell_size=cfg.icp_max_corr_dist, cell_cap=512
+        host_pos[host_valid], cell_size=cfg.icp_max_corr_dist
     )
     pack = ScenePack(
         pos=out["pos"], normal=out["normal"], rgb=out["rgb"],

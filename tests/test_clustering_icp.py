@@ -144,7 +144,7 @@ def test_icp_recovers_perturbation(rng):
     gt[:3, 3] = [0.01, -0.008, 0.012]
     source = target @ gt[:3, :3].T + gt[:3, 3]
 
-    grid = build_neighbor_grid(target, cell_size=0.035, cell_cap=512)
+    grid = build_neighbor_grid(target, cell_size=0.035)
     offset = np.asarray(
         icp.point_to_plane_icp(
             jnp.asarray(source), jnp.ones(n, bool),

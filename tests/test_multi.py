@@ -101,8 +101,7 @@ def test_two_objects_one_program(rng):
         centroid=jnp.asarray(sc),
         grid=build_neighbor_grid(centered, cfg.distance_threshold),
         field=build_dense_field(centered, snrm, cfg.distance_threshold),
-        icp_grid=build_neighbor_grid(centered, cfg.icp_max_corr_dist,
-                                     cell_cap=512),
+        icp_grid=build_neighbor_grid(centered, cfg.icp_max_corr_dist),
         edge_free=jnp.ones((8, 8), bool), has_edge=False,
     )
     probs_pad = np.zeros((2, cap), np.float32)

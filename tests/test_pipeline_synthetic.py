@@ -105,7 +105,7 @@ def setup():
     grid = build_neighbor_grid(centered, cell_size=cfg.distance_threshold)
     field = build_dense_field(centered, snrm, cfg.distance_threshold)
     icp_grid = build_neighbor_grid(
-        centered, cell_size=cfg.icp_max_corr_dist, cell_cap=512
+        centered, cell_size=cfg.icp_max_corr_dist
     )
     nscene = len(spos)
     scene = ScenePack(

@@ -57,7 +57,7 @@ def test_trimmed_icp_ignores_outlier_region(rng):
     m = int(0.15 * n)
     source[:m] += np.array([0.03, 0.03, 0.0], np.float32)
 
-    grid = build_neighbor_grid(target, cell_size=0.035, cell_cap=512)
+    grid = build_neighbor_grid(target, cell_size=0.035)
     off = np.asarray(
         icp.trimmed_icp(
             jnp.asarray(source), jnp.ones(n, bool),
