@@ -6,17 +6,20 @@ geometry (the union of their probability supports — one back-projection,
 one voxel filter, one NN grid/field) and differ only in their probability
 vectors and model packs. Every model's PPF tables are rebuilt at common
 power-of-two sizes (ppf_table.resize_table), the model clouds padded to a
-common lane multiple, and the whole pipeline — sampling, congruent
-extraction, fit, scoring, per-object argmax — compiles as ONE jit program
-with a static unroll over objects (uniform shapes let XLA deduplicate the
-per-object subgraphs).
+common lane multiple, and the stacked [O, ...] packs are driven through ONE
+lax.map over objects: the whole pipeline — sampling, congruent extraction,
+fit, scoring, per-object argmax — compiles exactly once regardless of how
+many objects the scene holds (a 30-object YCB scene costs the same compile
+as a 2-object one), and the congruent tier dispatch stays a real lax.cond
+inside the mapped body (a vmap would have flattened it into
+run-every-tier selects).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +57,7 @@ def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
                 valid=pad(m.valid), centroid=m.centroid, table=t,
             )
         )
-    # equalize the static probe bounds so the object subgraphs are identical
+    # equalize the static probe bounds so the stacked packs share a treedef
     ep = max(m.table.exist_max_probes for m in out)
     bp = max(m.table.bin_max_probes for m in out)
     for i, m in enumerate(out):
@@ -67,55 +70,61 @@ def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
     return out
 
 
+def stack_models(aligned: Sequence[ModelPack]) -> ModelPack:
+    """Stack shape-aligned packs into one pack with a leading object axis
+    (every array leaf becomes [O, ...]; the static table metadata must be
+    identical across objects, which align_models guarantees)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *aligned)
+
+
+def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
+               okey: jax.Array, cfg: MatchConfig):
+    """One object's full match: the reference's whole online run
+    (src/stocs_match_one_object.cpp:51-185) as a fixed-shape program."""
+    k_sample, k_cong = jax.random.split(okey)
+    bases = sampling.sample_class_bases(
+        k_sample, model.table, scene.pos, scene.normal, prior,
+        scene.valid & (prior > 0),
+        num_bases=cfg.number_of_bases,
+        tr_disc=cfg.ppf_tr_discretization,
+        rot_disc=cfg.ppf_rot_discretization,
+        plane_threshold=cfg.plane_threshold,
+        min_distance_base=cfg.min_distance_base,
+        internal_angle_threshold=cfg.internal_angle_threshold,
+    )
+    sets = congruent.extract_congruent_sets(
+        k_cong, model.table, model.pos, scene.pos, scene.normal,
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+        cfg,
+    )
+    b, k, _ = sets.quads.shape
+    scene_quad = jnp.broadcast_to(
+        scene.pos[bases.indices][:, None], (b, k, 4, 3)
+    )
+    fits = fit_ops.fit_congruent_pairs(
+        scene_quad, model.pos[sets.quads], scene.centroid, model.centroid
+    )
+    valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
+    scores = scoring.score_hybrid(
+        fits["transform"].reshape(-1, 4, 4), valid,
+        model.pos, model.normal, model.valid,
+        scene.field, scene.grid, scene.pos, scene.normal, prior,
+        cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+        model_count=jnp.sum(model.valid.astype(jnp.float32)),
+    )
+    idx, best = scoring.best_pose(scores)
+    pose = fits["world_transform"].reshape(-1, 4, 4)[jnp.maximum(idx, 0)]
+    return best, pose, jnp.sum(valid.astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("cfg",))
-def _match_all(models: Tuple[ModelPack, ...], scene: ScenePack,
-               probs: jax.Array, key: jax.Array, cfg: MatchConfig):
-    """One program: every object's full match. probs [O, P]."""
-    best_scores, best_poses, n_hyps = [], [], []
-    for o, model in enumerate(models):
-        okey = jax.random.fold_in(key, o)
-        k_sample, k_cong = jax.random.split(okey)
-        prior = probs[o]
-        bases = sampling.sample_class_bases(
-            k_sample, model.table, scene.pos, scene.normal, prior,
-            scene.valid & (prior > 0),
-            num_bases=cfg.number_of_bases,
-            tr_disc=cfg.ppf_tr_discretization,
-            rot_disc=cfg.ppf_rot_discretization,
-            plane_threshold=cfg.plane_threshold,
-            min_distance_base=cfg.min_distance_base,
-            internal_angle_threshold=cfg.internal_angle_threshold,
-        )
-        sets = congruent.extract_congruent_sets(
-            k_cong, model.table, model.pos, scene.pos, scene.normal,
-            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-            cfg,
-        )
-        b, k, _ = sets.quads.shape
-        scene_quad = jnp.broadcast_to(
-            scene.pos[bases.indices][:, None], (b, k, 4, 3)
-        )
-        fits = fit_ops.fit_congruent_pairs(
-            scene_quad, model.pos[sets.quads], scene.centroid, model.centroid
-        )
-        valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
-        scores = scoring.score_hybrid(
-            fits["transform"].reshape(-1, 4, 4), valid,
-            model.pos, model.normal, model.valid,
-            scene.field, scene.grid, scene.pos, scene.normal, prior,
-            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-            model_count=jnp.sum(model.valid.astype(jnp.float32)),
-        )
-        idx, best = scoring.best_pose(scores)
-        best_scores.append(best)
-        best_poses.append(
-            fits["world_transform"].reshape(-1, 4, 4)[jnp.maximum(idx, 0)]
-        )
-        n_hyps.append(jnp.sum(valid.astype(jnp.int32)))
-    return (
-        jnp.stack(best_scores),
-        jnp.stack(best_poses),
-        jnp.stack(n_hyps),
+def _match_all(stacked: ModelPack, scene: ScenePack, probs: jax.Array,
+               keys: jax.Array, cfg: MatchConfig):
+    """One program: every object's full match as a lax.map over the stacked
+    pack. probs [O, P], keys [O, 2]."""
+    return jax.lax.map(
+        lambda args: _match_one(args[0], scene, args[1], args[2], cfg),
+        (stacked, probs, keys),
     )
 
 
@@ -128,7 +137,9 @@ def match_all_objects(
 ):
     """Returns (best_lcp [O], best_world_transform [O, 4, 4],
     hypotheses [O])."""
-    aligned = tuple(align_models(models))
-    return _match_all(
-        aligned, scene, jnp.asarray(probs), jax.random.PRNGKey(seed), cfg
+    stacked = stack_models(align_models(models))
+    key = jax.random.PRNGKey(seed)
+    keys = jnp.stack(
+        [jax.random.fold_in(key, o) for o in range(len(models))]
     )
+    return _match_all(stacked, scene, jnp.asarray(probs), keys, cfg)
