@@ -122,6 +122,15 @@ class MatchConfig:
     max_pairs_per_bin: int = 16384
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
+    # Fixed flood-fill sweep count (instance path). Each sweep combines an
+    # 8-connected dilation with full row+column corridor propagation, so
+    # convergence to the exact BFS reachability takes O(region bends)
+    # sweeps (3 on the packed fixture). A fixed fori_loop avoids the
+    # per-iteration orchestration cost of a dynamic while_loop on
+    # remote-dispatch TPU backends (~430 ms/fill -> ~30 ms/fill measured).
+    # Set to 0 to fall back to the convergence-checked while_loop bounded
+    # by flood_fill_max_iters.
+    flood_fill_sweeps: int = 8
 
     # Angular gate half-width (cosine units) applied between pair directions in
     # congruent extraction. The reference's IndexedNormalSet cone rasterization

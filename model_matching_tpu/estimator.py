@@ -66,7 +66,8 @@ def _build_exists_bits(table, pos, normal, tr, rot):
 
 
 def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
-                           cfg: MatchConfig, num_bases: int):
+                           cfg: MatchConfig, num_bases: int,
+                           exists_bits=None):
     # host-driven stepping: compiles one per-base program instead of the
     # whole scan (whose nested flood-fill while_loop compiles pathologically
     # slowly on real TPU backends)
@@ -81,6 +82,8 @@ def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
         min_distance_base=cfg.min_distance_base,
         internal_angle_threshold=cfg.internal_angle_threshold,
         flood_max_iters=cfg.flood_fill_max_iters,
+        exists_bits=exists_bits,
+        flood_sweeps=cfg.flood_fill_sweeps or None,
     )
 
 
@@ -216,9 +219,12 @@ class StocsEstimator:
         t0 = time.perf_counter()
         self.seg_masks = None
         if self.scene.has_edge:
+            # the bit-packed pair-existence matrix turns each of the 3
+            # per-base PPF masks from an O(N*probes) hash sweep into one
+            # row gather; its O(N^2) build amortizes over every base
             inst = _phase_sample_instance(
                 k_sample, self.model.table, self.scene, self.class_prob,
-                cfg, cfg.number_of_bases,
+                cfg, cfg.number_of_bases, self.exists_bits(),
             )
             inst = jax.block_until_ready(inst)
             bases = sampling.SampledBases(

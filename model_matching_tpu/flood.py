@@ -67,11 +67,24 @@ def flood_fill(
     edge_free: jax.Array,    # [H, W] bool — pixels the fill may enter
     max_pixel_distance,      # scalar — euclidean radius around the seed
     max_iters: int = 512,
+    fixed_sweeps: int | None = None,
 ):
     """Boolean segment mask. The seed pixel is always in the mask (the
     reference marks it before testing, rgbd.cpp:337-343); neighbors must be
     free space AND strictly within max_pixel_distance of the seed
-    (rgbd.cpp:353-357)."""
+    (rgbd.cpp:353-357).
+
+    With fixed_sweeps=None the fill runs a convergence-checked while_loop
+    (exact fixpoint, data-dependent trip count). With fixed_sweeps=k it runs
+    exactly k sweeps as a fori_loop: on remote-dispatch TPU backends a
+    dynamic while_loop costs hundreds of ms of per-iteration orchestration
+    overhead while k fixed sweeps execute as one straight-line program
+    (measured: a converged 3-iteration while fill ~430 ms vs ~4 ms/sweep).
+    The sweep operator is monotone and idempotent at the fixpoint, so any
+    k >= the convergence count (one sweep spans an entire row/column
+    corridor; convergence takes O(region bends), 3 on the bundled packed
+    fixture) yields the exact BFS reachability; tests/test_flood.py checks
+    the default against the literal queue BFS on real fixture edge maps."""
     h, w = edge_free.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -83,15 +96,24 @@ def flood_fill(
 
     seed = jnp.zeros((h, w), bool).at[seed_rc[0], seed_rc[1]].set(True)
 
+    def sweep(mask):
+        new = mask | (_dilate8(mask) & allowed)
+        new = new | _axis_reach(new, allowed, 0)
+        new = new | _axis_reach(new, allowed, 1)
+        return new
+
+    if fixed_sweeps is not None:
+        return jax.lax.fori_loop(
+            0, fixed_sweeps, lambda _, m: sweep(m), seed
+        )
+
     def cond(state):
         i, mask, changed = state
         return (i < max_iters) & changed
 
     def body(state):
         i, mask, _ = state
-        new = mask | (_dilate8(mask) & allowed)
-        new = new | _axis_reach(new, allowed, 0)
-        new = new | _axis_reach(new, allowed, 1)
+        new = sweep(mask)
         return i + 1, new, jnp.any(new != mask)
 
     _, mask, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))

@@ -39,7 +39,8 @@ class InstanceSamples(NamedTuple):
 def _make_base_step(
     table, pos, normal, edge_prob, pixel, valid, edge_free,
     dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
-    internal_angle_threshold, flood_max_iters,
+    internal_angle_threshold, flood_max_iters, exists_bits=None,
+    flood_sweeps=None,
 ):
     """One base-sampling step as a self-contained scan body (also used by
     the host-driven stepper below)."""
@@ -48,14 +49,17 @@ def _make_base_step(
 
     def one_base(carry, inp):
         class_prob, prev_segment, seg_buffer, masks = carry
-        base_num, bkey = inp
+        base_num, bkey, active = inp
         k1, k2, k3, k4 = jax.random.split(bkey, 4)
 
         # cross-base dispersion decay inside the previous segment
-        # (stocs.cpp:571-580); note this mutates the carried class_prob
+        # (stocs.cpp:571-580); note this mutates the carried class_prob.
+        # `active` gates it off for the block-padding steps of the stepwise
+        # driver, whose decay would otherwise contaminate the returned
+        # probabilities (which scoring later reads as LCP weights)
         in_prev = prev_segment[pixel[:, 0], pixel[:, 1]]
         class_prob = jnp.where(
-            in_prev & valid, class_prob * dispersion, class_prob
+            in_prev & valid & active, class_prob * dispersion, class_prob
         )
 
         probs = jnp.where(valid, class_prob, 0.0)
@@ -69,7 +73,7 @@ def _make_base_step(
 
         # round-1 PPF mask + max feasible pixel distance (stocs.cpp:596-619)
         exists1 = sampling._pairwise_exists(
-            table, pos, normal, idx1[None], tr_disc, rot_disc
+            table, pos, normal, idx1[None], tr_disc, rot_disc, exists_bits
         )[0]
         probs = jnp.where(exists1 & (arange_n != idx1), probs, 0.0)
         seed_rc = pixel[idx1]
@@ -88,7 +92,8 @@ def _make_base_step(
 
         def fresh(_):
             m = flood.flood_fill(
-                seed_rc, edge_free, max_pix_dist, max_iters=flood_max_iters
+                seed_rc, edge_free, max_pix_dist, max_iters=flood_max_iters,
+                fixed_sweeps=flood_sweeps,
             )
             return m, jnp.where(m, base_num, seg_buffer)
 
@@ -104,7 +109,7 @@ def _make_base_step(
         idx2, ok2 = draw(k2, probs)
         keep2 = sampling.round2_keep_mask(
             table, pos, normal, idx1[None], idx2[None], tr_disc, rot_disc,
-            internal_angle_threshold,
+            internal_angle_threshold, exists_bits,
         )[0]
         probs = jnp.where(keep2, probs, 0.0)
 
@@ -112,6 +117,7 @@ def _make_base_step(
         keep3 = sampling.round3_keep_mask(
             table, pos, normal, idx1[None], idx2[None], idx3[None],
             tr_disc, rot_disc, plane_threshold, min_distance_base,
+            exists_bits,
         )[0]
         probs = jnp.where(keep3, probs, 0.0)
 
@@ -137,6 +143,8 @@ def sample_instance_bases_stepwise(
     internal_angle_threshold: float,
     flood_max_iters: int = 512,
     block: int = 10,
+    exists_bits=None,
+    flood_sweeps=None,
 ) -> InstanceSamples:
     """Host-driven variant: jitted scan blocks of `block` bases, dispatched
     B/block times.
@@ -150,7 +158,7 @@ def sample_instance_bases_stepwise(
     step = _make_base_step(
         table, pos, normal, edge_prob, pixel, valid, edge_free,
         dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
-        internal_angle_threshold, flood_max_iters,
+        internal_angle_threshold, flood_max_iters, exists_bits, flood_sweeps,
     )
 
     def run_block(carry, inp):
@@ -162,16 +170,29 @@ def sample_instance_bases_stepwise(
     nb = -(-num_bases // block)
     total = nb * block
     carry = (
-        class_prob0,
+        # copy: the donated carry would otherwise delete the caller's buffer
+        jnp.array(class_prob0),
         jnp.zeros((h, w), bool),
         jnp.zeros((h, w), jnp.int32),
         jnp.zeros((total + 1, h, w), bool),
     )
-    keys = jax.random.split(key, total).reshape(nb, block, -1)
+    # real bases draw from split(key, num_bases) — identical to the whole-
+    # scan variant; padding steps reuse the last key and are inert (active
+    # gate above + output truncation below)
+    base_keys = jax.random.split(key, num_bases)
+    if total > num_bases:
+        base_keys = jnp.concatenate(
+            [base_keys,
+             jnp.broadcast_to(
+                 base_keys[-1:], (total - num_bases,) + base_keys.shape[1:]
+             )]
+        )
+    keys = base_keys.reshape((nb, block) + base_keys.shape[1:])
     nums = jnp.arange(1, total + 1, dtype=jnp.int32).reshape(nb, block)
+    active = (jnp.arange(total) < num_bases).reshape(nb, block)
     raws, oks = [], []
     for i in range(nb):
-        carry, (raw, ok) = run_block(carry, (nums[i], keys[i]))
+        carry, (raw, ok) = run_block(carry, (nums[i], keys[i], active[i]))
         raws.append(raw)
         oks.append(ok)
     class_prob = carry[0]
@@ -208,12 +229,14 @@ def sample_instance_bases(
     min_distance_base: float,
     internal_angle_threshold: float,
     flood_max_iters: int = 512,
+    exists_bits=None,
+    flood_sweeps=None,
 ) -> InstanceSamples:
     h, w = edge_free.shape
     one_base = _make_base_step(
         table, pos, normal, edge_prob, pixel, valid, edge_free,
         dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
-        internal_angle_threshold, flood_max_iters,
+        internal_angle_threshold, flood_max_iters, exists_bits, flood_sweeps,
     )
     keys = jax.random.split(key, num_bases)
     base_nums = jnp.arange(1, num_bases + 1, dtype=jnp.int32)
@@ -224,7 +247,7 @@ def sample_instance_bases(
         jnp.zeros((num_bases + 1, h, w), bool),
     )
     (class_prob, _prev, _buf, masks), (raws, oks) = jax.lax.scan(
-        one_base, carry0, (base_nums, keys)
+        one_base, carry0, (base_nums, keys, jnp.ones(num_bases, bool))
     )
 
     from .ops import invariants

@@ -135,3 +135,57 @@ def test_prune_edge_points():
     edge = jnp.asarray(np.array([0.0, 1.0, 0.5], np.float32))
     out = np.asarray(flood.prune_edge_points(probs, edge))
     np.testing.assert_allclose(out, [0.5, 0.0, 0.2])
+
+
+def test_fixed_sweeps_matches_bfs_on_fixture_edge_map():
+    """The production default (fixed_sweeps=8, config.flood_fill_sweeps)
+    must reach the exact BFS fixpoint on the real packed edge map
+    (the only bundled fixture with an edge image)."""
+    from model_matching_tpu.io import image
+
+    edge = image.read_u8(
+        "/root/reference/examples/packed/probability_maps/edge.png"
+    )
+    edge_free = edge == 255  # reference: free space is value 255
+    rng = np.random.default_rng(4)
+    free_rc = np.argwhere(edge_free)
+    seeds = free_rc[rng.choice(len(free_rc), size=6, replace=False)]
+    for seed in seeds:
+        for r in (40.0, 150.0, 640.0):
+            want = ref_bfs(seed.astype(np.int32), edge_free, r)
+            got = np.asarray(
+                flood.flood_fill(
+                    jnp.asarray(seed.astype(np.int32)),
+                    jnp.asarray(edge_free), r, fixed_sweeps=8,
+                )
+            )
+            np.testing.assert_array_equal(got, want)
+
+
+def test_fixed_sweeps_matches_bfs_spiral_when_enough():
+    """On the adversarial spiral (bend count >> 8) a large fixed sweep
+    count still reaches the exact fixpoint; the sweep operator is monotone
+    and idempotent there, so extra sweeps are harmless."""
+    h = w = 64
+    edge_free = np.ones((h, w), bool)
+    top, bot, left, right = 2, h - 3, 2, w - 3
+    gap = 3
+    while top < bot and left < right:
+        edge_free[top, left:right] = False
+        edge_free[top:bot, right] = False
+        edge_free[bot, left + gap:right] = False
+        edge_free[top + gap:bot, left] = False
+        top += gap
+        bot -= gap
+        left += gap
+        right -= gap
+    seed = np.array([h // 2, w // 2], np.int32)
+    edge_free[seed[0], seed[1]] = True
+    want = ref_bfs(seed, edge_free, 1000.0)
+    got = np.asarray(
+        flood.flood_fill(
+            jnp.asarray(seed), jnp.asarray(edge_free), 1000.0,
+            fixed_sweeps=64,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
