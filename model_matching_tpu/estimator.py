@@ -219,12 +219,13 @@ class StocsEstimator:
         t0 = time.perf_counter()
         self.seg_masks = None
         if self.scene.has_edge:
-            # the bit-packed pair-existence matrix turns each of the 3
-            # per-base PPF masks from an O(N*probes) hash sweep into one
-            # row gather; its O(N^2) build amortizes over every base
+            # exists_bits deliberately NOT passed: at one base per step the
+            # single-row gather + 32-way unpack measures slower than the
+            # fused hash probing (23.8 vs 16.7 ms/base on chip); the bit
+            # matrix only pays off for the [B, N] batched class rounds
             inst = _phase_sample_instance(
                 k_sample, self.model.table, self.scene, self.class_prob,
-                cfg, cfg.number_of_bases, self.exists_bits(),
+                cfg, cfg.number_of_bases,
             )
             inst = jax.block_until_ready(inst)
             bases = sampling.SampledBases(
