@@ -15,12 +15,32 @@ The box edge C = ceil(model_diameter / cell) + 3 is static per model. When
 the box would not fit VMEM the caller falls back to the XLA path.
 
 STATUS: correct (bit-identical to the XLA scorer) under interpret mode and
-covered by tests/test_pallas_field.py, but NOT the production path: step 3's
-VMEM gather needs tpu.dynamic_gather, whose Mosaic lowering crashes the
-compiler on the available v5e toolchain (remote_compile HTTP 500 even for
-minimal take_along_axis kernels). The XLA three-stage ladder in scoring.py
-is the production scorer (>2x the 1e5 hyp/s north star); this kernel is the
-ready design for when the toolchain supports dynamic_gather.
+covered by tests/test_pallas_field.py, but NOT the production path. Probed
+twice on real v5e hardware:
+
+* round 1: any take/take_along_axis in-kernel crashed remote_compile
+  (HTTP 500) before reaching a diagnostic.
+* round 2: the toolchain now has a tpu.dynamic_gather lowering, but it
+  requires same-shape input/indices ("Shape mismatch in input, indices and
+  output") and, with that satisfied via broadcast-index take_along_axis,
+  refuses multi-vreg tables ("Not implemented: Multiple source vregs along
+  gather dimension") — a VMEM gather may only span ONE 8x128 vreg, far
+  below the [C^3, 8] box this kernel needs.
+* one-hot-matmul fallback (cand = onehot(flat) @ box_rows) was priced out:
+  with 8 output lanes the MXU runs at 8/128 efficiency, ~30-60 us/hyp for
+  C^3 ~ 43k — 10x slower than the XLA ladder; the [C^3/128, 1024]
+  lane-packed relayout that fixes efficiency lands at ~2-4 us/hyp, i.e.
+  parity with the ladder, not a win.
+* measured gather ceiling (artifacts/prof_gather.py, v5e): XLA HBM row
+  gathers issue at ~64 M rows/s regardless of row size (32-byte f32 rows
+  and 4-byte scalars gather at the same rate; bf16/16-byte rows are
+  SLOWER). The dense-field layout already sits at this issue-rate
+  speed-of-light, which is why the ladder beats the north star without
+  this kernel.
+
+The XLA three-stage ladder in scoring.py remains the production scorer;
+this kernel is the ready design for a future toolchain with general VMEM
+gathers.
 """
 
 from __future__ import annotations
