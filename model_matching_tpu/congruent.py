@@ -146,18 +146,29 @@ def extract_congruent_sets(
             cell1p = pack(cell1)
             sq1 = jnp.sum(e1_world * e1_world, axis=-1)
 
-            # keyed random subsample to k_cap. A full top_k over the [P, Q]
-            # matrix is slow on TPU, so first reduce each 64-element segment
-            # to its best random-keyed match, then top_k over the 64x-smaller
-            # segment array. At most one match per segment survives — an
-            # acceptable thinning of the reference's uniform random subsample
-            # (stocs_match_one_object.cpp:126-143). The randomness is a
-            # murmur mixer over the flat element id xor a per-base salt —
-            # decorrelation is all the subsample needs.
+            # Keyed random subsample to k_cap — the reference's random
+            # 200-subsample (stocs_match_one_object.cpp:126-143). Selection
+            # must not materialize per-element state beyond the match
+            # matrix: each element's key is rand_p[p] ^ rand_q[q] (pairwise-
+            # decorrelated XOR of two mixed streams), packed as
+            # (17-bit rand | 14-bit q index) into a positive int32 so a
+            # plain max reduction both samples and records the winner.
+            # Reducing over Q in `sub` stripes keeps up to `sub` candidates
+            # per P row (pure one-per-row starves diversity when a bin has
+            # few distinct P pairs); the final top_k runs over [cap*sub]
+            # slots, not [cap*qb] elements. (The previous 64-segment argmax
+            # scheme cost 16.6 ms per dense base on v5e — 8x this one.)
             from .ppf_table import _mix32_jnp
 
-            seg = 64
             salt = jax.random.bits(bkey, dtype=jnp.uint32)
+            rp = _mix32_jnp(
+                jnp.arange(cap, dtype=jnp.uint32) ^ salt
+            )[:, None]
+            col_bits = 14  # cap <= 16384 always (max_pairs_per_bin)
+            rand_mask = jnp.uint32(0x7FFFFFFF & ~((1 << col_bits) - 1))
+            sub = 16
+            while qb % sub:
+                sub //= 2
 
             def one_block(blk):
                 bi, qp, qok = blk
@@ -186,27 +197,19 @@ def extract_congruent_sets(
                     )
                 match &= p_ok[:, None] & qok[None, :] & bvalid
 
-                ids = jax.lax.broadcasted_iota(
-                    jnp.uint32, match.shape, 0
-                ) * jnp.uint32(cap) + jnp.uint32(qb) * bi + (
-                    jax.lax.broadcasted_iota(jnp.uint32, match.shape, 1)
-                )
-                rand = _mix32_jnp(ids ^ salt).astype(
-                    jnp.float32
-                ) * jnp.float32(2**-32)
-                keyed = jnp.where(match, rand, -1.0).reshape(-1, seg)
+                cols = jnp.arange(qb, dtype=jnp.uint32) + jnp.uint32(qb) * bi
+                rq = _mix32_jnp(cols ^ salt ^ jnp.uint32(0x9E3779B9))
+                v = ((rp ^ rq[None, :]) & rand_mask) | cols[None, :]
+                v = jnp.where(match, v, jnp.uint32(0))
                 return (
-                    jnp.max(keyed, axis=1),
-                    jnp.argmax(keyed, axis=1).astype(jnp.int32),
+                    jnp.max(v.reshape(cap, sub, qb // sub), axis=2),
                     jnp.sum(match.astype(jnp.int32)),
                 )
 
             if nb == 1:
-                seg_best, seg_arg, total = one_block(
-                    (jnp.uint32(0), q_pairs, q_ok)
-                )
+                row_best, total = one_block((jnp.uint32(0), q_pairs, q_ok))
             else:
-                seg_best, seg_arg, btotals = jax.lax.map(
+                block_best, btotals = jax.lax.map(
                     one_block,
                     (
                         jnp.arange(nb, dtype=jnp.uint32),
@@ -214,17 +217,15 @@ def extract_congruent_sets(
                         q_ok.reshape(nb, qb),
                     ),
                 )
-                seg_best = seg_best.reshape(-1)
-                seg_arg = seg_arg.reshape(-1)
+                row_best = jnp.max(block_best, axis=0)
                 total = jnp.sum(btotals)
 
-            segs_per_block = (cap * qb) // seg
-            top, seg_idx = jax.lax.top_k(seg_best, k_cap)
-            quad_valid = top >= 0.0
-            blk = seg_idx // segs_per_block
-            within = (seg_idx % segs_per_block) * seg + seg_arg[seg_idx]
-            pi = within // qb
-            qi = blk * qb + within % qb
+            top, slot = jax.lax.top_k(
+                row_best.reshape(-1).astype(jnp.int32), k_cap
+            )
+            quad_valid = top > 0
+            pi = slot // sub
+            qi = top & ((1 << col_bits) - 1)
             quads = jnp.stack(
                 [
                     p_pairs[pi, 0], p_pairs[pi, 1],

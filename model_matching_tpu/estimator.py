@@ -402,6 +402,10 @@ class StocsEstimator:
         best_i = int(jnp.argmax(pool_s))
         best_lcp = float(pool_s[best_i])
         best_w = np.asarray(pool_w[best_i])
+        # the clustering prune compares raw pool scores against the best;
+        # an ICP-refined best would over-prune (the reference clusters the
+        # raw hypothesis set, pose_clustering.cpp:93-97)
+        raw_best = best_lcp
 
         # ICP polish of the sweep winner, like the single-run path
         if cfg.refine_best_pose and best_lcp > 0:
@@ -419,7 +423,7 @@ class StocsEstimator:
 
         cidx, cmask = clustering.greedy_clustering(
             pool_w, pool_s, pool_s > 0,
-            cfg.cluster_acceptable_fraction, jnp.float32(best_lcp),
+            cfg.cluster_acceptable_fraction, jnp.float32(raw_best),
             cfg.cluster_max_pose_count, cfg.cluster_min_distance,
             cfg.cluster_min_angle,
             jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
@@ -468,10 +472,15 @@ class StocsEstimator:
             )
             lcp = jnp.where(lcp >= 0, lcp, field_scores)
             poses = dataclasses.replace(poses, lcp=lcp)
+        # prune against the raw pool best: result.best_lcp may be the
+        # ICP-refined winner, which is not a member of the pool being
+        # clustered (reference prunes vs the pool's own best,
+        # pose_clustering.cpp:93-97)
+        raw_best = jnp.max(jnp.where(poses.valid, poses.lcp, -jnp.inf))
         idx, mask = clustering.greedy_clustering(
             poses.world_transform, poses.lcp, poses.valid,
             cfg.cluster_acceptable_fraction,
-            jnp.float32(result.best_lcp),
+            raw_best.astype(jnp.float32),
             cfg.cluster_max_pose_count,
             cfg.cluster_min_distance,
             cfg.cluster_min_angle,

@@ -261,6 +261,9 @@ def run_sweep_sharded(
     best_i = int(jnp.argmax(pool_s))
     best_lcp = float(pool_s[best_i])
     best_w = np.asarray(pool_w[best_i])
+    # the clustering prune compares raw pool scores against the best; an
+    # ICP-refined best would over-prune (reference: pose_clustering.cpp:93-97)
+    raw_best = best_lcp
 
     # ICP polish of the sweep winner (same policy as the single-chip sweep)
     if cfg.refine_best_pose and best_lcp > 0:
@@ -288,7 +291,7 @@ def run_sweep_sharded(
 
     cidx, cmask = clustering.greedy_clustering(
         pool_w, pool_s, pool_s > 0,
-        cfg.cluster_acceptable_fraction, jnp.float32(best_lcp),
+        cfg.cluster_acceptable_fraction, jnp.float32(raw_best),
         cfg.cluster_max_pose_count, cfg.cluster_min_distance,
         cfg.cluster_min_angle,
         jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
