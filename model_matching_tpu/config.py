@@ -120,6 +120,15 @@ class MatchConfig:
     # densest observed fixture bin (YCB bowl union ~11.6k pairs) without
     # truncation.
     max_pairs_per_bin: int = 16384
+    # Hypothesis-slot compaction cap for coarse-to-fine scoring. A B-base
+    # batch carries B * maximum_congruent_sets pose slots but typically only
+    # ~5-10% are valid (fixture sweeps: ~14 congruent sets/base); when the
+    # slot count exceeds this cap, valid hypotheses are stably partitioned
+    # to the front and only the first `score_compact_cap` slots are scored
+    # (overflow beyond the cap is dropped with a WARNING — raise the cap
+    # for full recall). 0 disables compaction. Does not apply to exact
+    # (no-coarse-to-fine) scoring.
+    score_compact_cap: int = 131072
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
     # Fixed flood-fill sweep count (instance path). Each sweep combines an

@@ -237,9 +237,12 @@ def extract_congruent_sets(
 
         # tiered dispatch: most bins hold far fewer than p_cap pairs, and a
         # cap-c branch does (p_cap/c)^2 times less matrix work; the top tier
-        # blocks the Q axis so its gate matrix stays <= [p_cap, 4096]
+        # blocks the Q axis so its gate matrix stays <= [p_cap, 4096].
+        # Fixture pair-count distribution (YCB bowl, docs/RESULTS.md):
+        # p50=30, p90=535, p99=7887 — the 256 tier carries most bases at
+        # ~half the 1024-tier cost (154 vs 323 us/base measured).
         top_qb = 4096 if p_cap > 8192 else None
-        tiers = [c for c in (1024, 4096) if c < p_cap]
+        tiers = [c for c in (256, 1024, 4096) if c < p_cap]
         if not tiers:
             quads, quad_valid, total = match_block(p_cap, top_qb)
         else:

@@ -125,13 +125,16 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
                  class_prob, cfg: MatchConfig, coarse_to_fine: bool):
     mc = jnp.sum(model.valid.astype(jnp.float32))
     if coarse_to_fine:
-        # production path: dense-field ranking + exact re-score of leaders
+        # production path: dense-field ranking + exact re-score of leaders;
+        # oversized slot batches are compacted valid-first (overflow beyond
+        # the cap is dropped and the caller warns)
         scores = scoring.score_hybrid(
             poses.transform, poses.valid,
             model.pos, model.normal, model.valid,
             scene.field, scene.grid, scene.pos, scene.normal, class_prob,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
+            compact_cap=cfg.score_compact_cap,
         )
     else:
         scores = scoring.score_transforms(
@@ -281,6 +284,16 @@ class StocsEstimator:
                 f"raise the cap for full recall",
                 pair_max=pair_max, cap=cfg.max_pairs_per_bin,
             )
+        cap = cfg.score_compact_cap
+        if (coarse_to_fine and cap and poses.valid.shape[0] > cap
+                and n_hyp > cap):
+            from .utils.log import warn
+
+            warn(
+                f"{n_hyp} valid hypotheses exceed score_compact_cap={cap}; "
+                f"overflow was not scored — raise the cap for full recall",
+                n_valid=n_hyp, cap=cap,
+            )
 
         t0 = time.perf_counter()
         scores, idx, best = _phase_score(
@@ -368,10 +381,9 @@ class StocsEstimator:
         key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         n_chunks = -(-total_bases // chunk)
 
-        pool_t, pool_w, pool_s = [], [], []
+        pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
         bits = self.exists_bits()
-        n_hyp_total = 0
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
@@ -394,7 +406,22 @@ class StocsEstimator:
             pool_s.append(top)
             pool_t.append(poses.transform[idx])
             pool_w.append(poses.world_transform[idx])
-            n_hyp_total += int(jnp.sum(poses.valid))
+            # device-side count: converting per chunk would sync the host
+            # loop and stall dispatch pipelining
+            chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
+        nvs = np.asarray(jnp.stack(chunk_valid))
+        n_hyp_total = int(nvs.sum())
+        cap = cfg.score_compact_cap
+        slots = chunk * cfg.maximum_congruent_sets
+        if cap and slots > cap and nvs.max() > cap:
+            from .utils.log import warn
+
+            warn(
+                f"a chunk produced {int(nvs.max())} valid hypotheses, over "
+                f"score_compact_cap={cap}; overflow was not scored — "
+                f"raise the cap for full recall",
+                n_valid=int(nvs.max()), cap=cap,
+            )
         pool_s = jnp.concatenate(pool_s)
         pool_t = jnp.concatenate(pool_t)
         pool_w = jnp.concatenate(pool_w)

@@ -111,6 +111,7 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
         scene.field, scene.grid, scene.pos, scene.normal, prior,
         cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
         model_count=jnp.sum(model.valid.astype(jnp.float32)),
+        compact_cap=cfg.score_compact_cap,
     )
     idx, best = scoring.best_pose(scores)
     pose = fits["world_transform"].reshape(-1, 4, 4)[jnp.maximum(idx, 0)]

@@ -111,6 +111,7 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
             scene.field, scene.grid, scene.pos, scene.normal, class_prob,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
+            compact_cap=cfg.score_compact_cap,
         )
     else:
         scores = scoring.score_transforms(

@@ -130,6 +130,7 @@ def score_hybrid(
     coarse_points: int = 64,
     mid_fraction: float = 0.08,
     refine_count: int = 256,
+    compact_cap: int = 0,
 ):
     """Production scorer: a three-stage ladder.
 
@@ -139,7 +140,20 @@ def score_hybrid(
     3. exact grid + full model (top refine_count) — final LCP values keep
        the reference's NN semantics for every hypothesis that can win.
 
-    Non-leaders report -1 (they only needed to lose the ranking)."""
+    Non-leaders report -1 (they only needed to lose the ranking).
+
+    `compact_cap`: when nonzero and the slot count exceeds it, valid
+    hypotheses are stably partitioned to the front and only the first
+    `compact_cap` slots enter the ladder (a B-base batch carries
+    B * maximum_congruent_sets slots, typically ~5-10% valid; compaction
+    removes the dead gather traffic). Valid slots beyond the cap are
+    dropped — callers warn via MatchConfig.score_compact_cap docs."""
+    h_orig = transforms.shape[0]
+    sel = None
+    if compact_cap and h_orig > compact_cap:
+        sel = jnp.argsort(jnp.logical_not(valid))[:compact_cap]
+        transforms = transforms[sel]
+        valid = valid[sel]
     h = transforms.shape[0]
     m = model_pos.shape[0]
 
@@ -170,7 +184,9 @@ def score_hybrid(
         distance_threshold, normal_angle_threshold_deg,
         model_count=model_count,
     )
-    out = jnp.full((h,), -1.0, coarse.dtype)
+    out = jnp.full((h_orig,), -1.0, coarse.dtype)
+    if sel is not None:
+        fine_idx = sel[fine_idx]
     return out.at[fine_idx].set(fine)
 
 

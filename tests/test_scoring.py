@@ -120,3 +120,37 @@ def test_hybrid_final_scores_are_exact(rng):
     wi = hybrid.argmax()
     assert hybrid[wi] == exact[wi] or abs(hybrid[wi] - exact[wi]) < 1e-6
     assert wi == exact.argmax()
+
+
+def test_hybrid_compaction_is_score_identical(rng):
+    """compact_cap partitions valid slots to the front; as long as the
+    valid count fits the cap, per-slot scores must match the uncompacted
+    ladder exactly (same ladder inputs, just without dead padding)."""
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grid = build_neighbor_grid(scene, cell_size=eps)
+    field = build_dense_field(scene, snrm, eps)
+    h = 256
+    trs = np.tile(np.eye(4, dtype=np.float32), (h, 1, 1))
+    trs[:, :3, 3] = rng.normal(0, 0.05, (h, 3)).astype(np.float32)
+    trs[5, :3, 3] = 0
+    valid = rng.random(h) < 0.2          # ~50 valid of 256 slots
+    valid[5] = True
+    trs = jnp.asarray(trs)
+    margs = (jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool))
+    sargs = (jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob))
+    kw = dict(coarse_points=64, mid_fraction=0.5, refine_count=16)
+    plain = np.asarray(scoring.score_hybrid(
+        trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps, 30.0, **kw
+    ))
+    compact = np.asarray(scoring.score_hybrid(
+        trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps, 30.0,
+        compact_cap=128, **kw
+    ))
+    # identical winner with identical exact score; both ladders keep exact
+    # scores for every hypothesis that can win
+    assert compact.argmax() == plain.argmax()
+    assert compact.max() == plain.max()
+    assert float(compact[5]) > 0
+    # no invalid slot ever gets a real score
+    assert (compact[~valid] == -1).all()
