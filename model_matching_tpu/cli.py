@@ -51,6 +51,23 @@ def _guard_writable(path: str) -> None:
         )
 
 
+def _check_scene_inputs(scene_path, objects):
+    """Friendly error instead of a loader traceback when the scene is
+    missing rgb/depth/probability-map files (each bundled example ships
+    maps only for its own object)."""
+    paths = [
+        os.path.join(scene_path, "rgb.png"),
+        os.path.join(scene_path, "depth.png"),
+    ] + [
+        os.path.join(scene_path, "probability_maps", f"{o}.png")
+        for o in objects
+    ]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        print("error: missing scene inputs:\n  " + "\n  ".join(missing))
+    return not missing
+
+
 def _model_dirs(args, object_name):
     src_root = os.path.join(args.repo_path, "models", object_name)
     out_root = os.path.join(
@@ -160,6 +177,8 @@ def cmd_stocs_single(argv):
     print(f"|M| = {int(model.count())}, pairs = {model.table.num_pairs}")
     print("############# LOADING OBJECT COMPLETE ################")
 
+    if not _check_scene_inputs(args.scene_path, [args.object]):
+        return 1
     edge_path = os.path.join(args.scene_path, "probability_maps", "edge.png")
     scene = load_scene(
         os.path.join(args.scene_path, "rgb.png"),
@@ -359,6 +378,8 @@ def cmd_stocs_multi(argv):
             cfg.max_model_points,
             standardize=True,
         ))
+    if not _check_scene_inputs(args.scene_path, objects):
+        return 1
     scene, probs = load_scene_multi(
         os.path.join(args.scene_path, "rgb.png"),
         os.path.join(args.scene_path, "depth.png"),
