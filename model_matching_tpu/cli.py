@@ -369,6 +369,14 @@ def cmd_stocs_multi(argv):
         cfg = dataclasses.replace(cfg, number_of_bases=args.number_of_bases)
 
     objects = [o for o in args.objects.split(",") if o]
+    if not _check_scene_inputs(args.scene_path, objects):
+        return 1
+    for obj in objects:
+        _s, root = _model_dirs(args, obj)
+        if not os.path.exists(os.path.join(root, "model_search.ply")):
+            print(f"error: {root}/model_search.ply not found — run "
+                  f"'model-preprocess {obj}' first")
+            return 1
     models = []
     for obj in objects:
         _s, root = _model_dirs(args, obj)
@@ -378,8 +386,6 @@ def cmd_stocs_multi(argv):
             cfg.max_model_points,
             standardize=True,
         ))
-    if not _check_scene_inputs(args.scene_path, objects):
-        return 1
     scene, probs = load_scene_multi(
         os.path.join(args.scene_path, "rgb.png"),
         os.path.join(args.scene_path, "depth.png"),

@@ -1,0 +1,97 @@
+"""CLI-surface tests: argument flow, artifact formats, serve protocol.
+
+Drives `cli.main` in-process on the bundled YCB fixture (reference:
+src/model_preprocess.cpp, src/stocs_match_one_object.cpp CLIs and their
+artifact contract — best_pose_candidate_<obj>.txt is 12 space-separated
+floats, row-major 3x4, one line)."""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from model_matching_tpu import cli
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference fixtures not present")
+    out = tmp_path_factory.mktemp("cliroot")
+    rc = cli.main([
+        "model-preprocess", "024_bowl",
+        "--repo-path", REF, "--output-root", str(out),
+    ])
+    assert rc == 0
+    assert os.path.exists(out / "models/024_bowl/model_search.ply")
+    assert os.path.exists(out / "models/024_bowl/ppf_table.npz")
+    return out
+
+
+def test_stocs_single_writes_reference_artifacts(workdir):
+    rc = cli.main([
+        "stocs-single", f"{REF}/examples/ycb", "024_bowl",
+        "--repo-path", REF, "--output-root", str(workdir),
+        "--number-of-bases", "24", "--no-refine",
+    ])
+    assert rc == 0
+    pose_file = workdir / "ycb" / "best_pose_candidate_024_bowl.txt"
+    assert pose_file.exists()
+    vals = np.loadtxt(pose_file)
+    assert vals.shape == (12,)
+    r = vals.reshape(3, 4)[:, :3]
+    # a rigid rotation: orthonormal rows, det +1
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-4)
+    assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-4)
+    dbg = workdir / "ycb" / "dbg"
+    for name in ("sampled_scene.ply", "best_pose.ply", "scene.ply"):
+        assert (dbg / name).exists(), name
+
+
+def test_stocs_single_missing_model_friendly_error(workdir, capsys):
+    rc = cli.main([
+        "stocs-single", f"{REF}/examples/ycb", "no_such_object",
+        "--repo-path", REF, "--output-root", str(workdir),
+    ])
+    assert rc == 1
+    assert "model-preprocess" in capsys.readouterr().out
+
+
+def test_stocs_multi_missing_probability_map_friendly_error(workdir, capsys):
+    rc = cli.main([
+        "stocs-multi", f"{REF}/examples/ycb", "024_bowl,dove",
+        "--repo-path", REF, "--output-root", str(workdir),
+    ])
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "missing scene inputs" in out and "dove.png" in out
+
+
+def test_serve_protocol(workdir, capsys, monkeypatch):
+    monkeypatch.setattr(
+        sys, "stdin",
+        io.StringIO(
+            f"{REF}/examples/ycb 024_bowl\n"
+            "bad-request\n"
+            f"{REF}/examples/ycb missing_object\n"
+            "quit\n"
+        ),
+    )
+    rc = cli.main([
+        "serve", "--repo-path", REF, "--output-root", str(workdir),
+        "--number-of-bases", "16",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l]
+    assert lines[0] == "READY"
+    ok = [l for l in lines if l.startswith("OK ")]
+    assert len(ok) == 1
+    parts = ok[0].split()
+    assert len(parts) == 14  # OK + 12 floats + lcp
+    float(parts[-1])
+    errs = [l for l in lines if l.startswith("ERR ")]
+    assert len(errs) == 2  # usage error + missing model
