@@ -140,6 +140,15 @@ class MatchConfig:
     # Set to 0 to fall back to the convergence-checked while_loop bounded
     # by flood_fill_max_iters.
     flood_fill_sweeps: int = 8
+    # Instance-path base batching. 1 (default) = the reference's strictly
+    # sequential chain (each base sees the dispersion decay of every
+    # earlier base, stocs.cpp:571-580). K > 1 = sample K bases per block
+    # with batched flood fills and apply the decay at block boundaries —
+    # intra-block draws repel less (documented divergence; identical
+    # cumulative decay over a run, and exactly equal draws when
+    # sample_dispersion == 1.0). Large budgets on the packed dataset
+    # should use 8-16.
+    instance_block_size: int = 1
 
     # Angular gate half-width (cosine units) applied between pair directions in
     # congruent extraction. The reference's IndexedNormalSet cone rasterization

@@ -68,12 +68,7 @@ def _build_exists_bits(table, pos, normal, tr, rot):
 def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
                            cfg: MatchConfig, num_bases: int,
                            exists_bits=None):
-    # host-driven stepping: compiles one per-base program instead of the
-    # whole scan (whose nested flood-fill while_loop compiles pathologically
-    # slowly on real TPU backends)
-    return instance.sample_instance_bases_stepwise(
-        key, table, scene.pos, scene.normal, class_prob,
-        scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
+    kwargs = dict(
         num_bases=num_bases,
         dispersion=cfg.sample_dispersion,
         tr_disc=cfg.ppf_tr_discretization,
@@ -84,6 +79,22 @@ def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
         flood_max_iters=cfg.flood_fill_max_iters,
         exists_bits=exists_bits,
         flood_sweeps=cfg.flood_fill_sweeps or None,
+    )
+    if cfg.instance_block_size > 1:
+        # block-parallel: K bases per dispatch, batched flood fills,
+        # block-boundary decay (documented divergence, config.py)
+        return instance.sample_instance_bases_blocked(
+            key, table, scene.pos, scene.normal, class_prob,
+            scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
+            block_size=cfg.instance_block_size, **kwargs,
+        )
+    # host-driven stepping: compiles one per-base program instead of the
+    # whole scan (whose nested flood-fill while_loop compiles pathologically
+    # slowly on real TPU backends)
+    return instance.sample_instance_bases_stepwise(
+        key, table, scene.pos, scene.normal, class_prob,
+        scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
+        **kwargs,
     )
 
 

@@ -211,6 +211,146 @@ def sample_instance_bases_stepwise(
     )
 
 
+def sample_instance_bases_blocked(
+    key: jax.Array,
+    table: PPFTable,
+    pos, normal, class_prob0, edge_prob, pixel, valid, edge_free,
+    num_bases: int,
+    dispersion: float,
+    tr_disc: int,
+    rot_disc: int,
+    plane_threshold: float,
+    min_distance_base: float,
+    internal_angle_threshold: float,
+    flood_max_iters: int = 512,
+    block_size: int = 8,
+    exists_bits=None,
+    flood_sweeps=None,
+) -> InstanceSamples:
+    """Block-parallel variant: `block_size` bases are sampled at once —
+    round-1 draws in parallel from the same prior, flood fills batched as
+    one [K, H, W] program, rounds 2-4 as [K, N] masked draws — and the
+    dispersion decay is applied once per block (dispersion**count of the
+    block's segments covering each point).
+
+    DOCUMENTED DIVERGENCE from the reference's strictly sequential
+    sample_instance_base (stocs.cpp:559-751): bases within one block do
+    not see each other's decay, so intra-block draws repel less than the
+    sequential chain (the cumulative decay exponent over a full run is
+    identical, only the ordering differs). The seed-pixel mask cache is
+    also skipped — fills are deterministic per seed, so a cache hit and a
+    fresh fill produce the same mask; the cache only saves work in the
+    sequential path. With dispersion == 1.0 this function reproduces the
+    sequential sampler's draws exactly (per-base keys are derived
+    identically), which tests/test_instance.py asserts.
+    """
+    h, w = edge_free.shape
+    n = pos.shape[0]
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+    k_block = block_size
+
+    def draw_rows(keys, probs):
+        # per-base keys (identical derivation to the sequential scan) so
+        # block mode is key-compatible with the sequential sampler
+        idx, ok = jax.vmap(
+            lambda k, p: sampling._categorical_rows(k, p[None])
+        )(keys, probs)
+        return idx[:, 0], ok[:, 0]
+
+    def run_block(class_prob, base_keys, active):
+        ks = jax.vmap(lambda k: jax.random.split(k, 4))(base_keys)
+        k1, k2, k3, k4 = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+        probs0 = jnp.where(valid, class_prob, 0.0)
+        probs0 = flood.prune_edge_points(probs0, edge_prob)
+        probs0 = jnp.broadcast_to(probs0, (k_block, n))
+
+        idx1, ok1 = draw_rows(k1, probs0)
+        exists1 = sampling._pairwise_exists(
+            table, pos, normal, idx1, tr_disc, rot_disc, exists_bits
+        )
+        probs = jnp.where(exists1 & (arange_n[None, :] != idx1[:, None]),
+                          probs0, 0.0)
+        seed_rc = pixel[idx1]                              # [K, 2]
+        pix_d = jnp.sqrt(jnp.sum(
+            (pixel[None, :, :] - seed_rc[:, None, :]).astype(jnp.float32)
+            ** 2, axis=-1,
+        ))
+        max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0), axis=1)
+
+        masks = jax.vmap(
+            lambda rc, d: flood.flood_fill(
+                rc, edge_free, d, max_iters=flood_max_iters,
+                fixed_sweeps=flood_sweeps,
+            )
+        )(seed_rc, max_pix_dist)                           # [K, H, W]
+
+        in_seg = masks[:, pixel[:, 0], pixel[:, 1]]        # [K, N]
+        probs = jnp.where(in_seg, probs, 0.0)
+
+        idx2, ok2 = draw_rows(k2, probs)
+        probs = jnp.where(sampling.round2_keep_mask(
+            table, pos, normal, idx1, idx2, tr_disc, rot_disc,
+            internal_angle_threshold, exists_bits,
+        ), probs, 0.0)
+        idx3, ok3 = draw_rows(k3, probs)
+        probs = jnp.where(sampling.round3_keep_mask(
+            table, pos, normal, idx1, idx2, idx3, tr_disc, rot_disc,
+            plane_threshold, min_distance_base, exists_bits,
+        ), probs, 0.0)
+        idx4, ok4 = draw_rows(k4, probs)
+
+        # block-boundary decay: every sampled base's segment decays the
+        # prior once, like the sequential chain does at the start of the
+        # following base (stocs.cpp:571-580); padding steps are inert
+        counts = jnp.sum(
+            (in_seg & active[:, None]).astype(jnp.float32), axis=0
+        )
+        class_prob = jnp.where(
+            valid, class_prob * dispersion ** counts, class_prob
+        )
+        raw = jnp.stack([idx1, idx2, idx3, idx4], axis=1)  # [K, 4]
+        return class_prob, raw, ok1 & ok2 & ok3 & ok4, masks
+
+    run_block_j = jax.jit(run_block, donate_argnums=(0,))
+
+    nb = -(-num_bases // k_block)
+    total = nb * k_block
+    base_keys = jax.random.split(key, num_bases)
+    if total > num_bases:
+        base_keys = jnp.concatenate(
+            [base_keys,
+             jnp.broadcast_to(
+                 base_keys[-1:], (total - num_bases,) + base_keys.shape[1:]
+             )]
+        )
+    keys_b = base_keys.reshape((nb, k_block) + base_keys.shape[1:])
+    active = (jnp.arange(total) < num_bases).reshape(nb, k_block)
+
+    class_prob = jnp.array(class_prob0)
+    raws, oks, masks_out = [], [], [jnp.zeros((1, h, w), bool)]
+    for i in range(nb):
+        class_prob, raw, ok, masks = run_block_j(
+            class_prob, keys_b[i], active[i]
+        )
+        raws.append(raw)
+        oks.append(ok)
+        masks_out.append(masks)
+    raws = jnp.concatenate(raws)[:num_bases]
+    oks = jnp.concatenate(oks)[:num_bases]
+    seg_masks = jnp.concatenate(masks_out)[: num_bases + 1]
+
+    from .ops import invariants
+
+    base_pos = pos[raws]
+    perm, inv1, inv2, _d = invariants.reorder_base(base_pos)
+    reordered = jnp.take_along_axis(raws, perm, axis=-1)
+    return InstanceSamples(
+        indices=reordered, invariant1=inv1, invariant2=inv2, valid=oks,
+        class_prob=class_prob, seg_masks=seg_masks,
+    )
+
+
 def sample_instance_bases(
     key: jax.Array,
     table: PPFTable,

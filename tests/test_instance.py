@@ -130,3 +130,125 @@ def test_segments_respect_edge_wall(rng):
         assert not m[:, wall_col].any()
         cols = np.flatnonzero(m.any(axis=0))
         assert (cols < wall_col).all() or (cols > wall_col).all()
+
+
+def run_blocked(env, key, dispersion, num_bases=12, block_size=4, bits=None):
+    table, pos, nrm, prob, edge_prob, pixel, valid, edge_free = env
+    return instance.sample_instance_bases_blocked(
+        key, table, pos, nrm, jnp.array(prob), edge_prob, pixel, valid,
+        edge_free, num_bases=num_bases, dispersion=dispersion, tr_disc=5,
+        rot_disc=5, plane_threshold=0.15, min_distance_base=0.01,
+        internal_angle_threshold=30.0, flood_max_iters=64,
+        block_size=block_size, exists_bits=bits,
+    )
+
+
+def run_sequential(env, key, dispersion, num_bases=12):
+    table, pos, nrm, prob, edge_prob, pixel, valid, edge_free = env
+    return instance.sample_instance_bases(
+        key, table, pos, nrm, jnp.array(prob), edge_prob, pixel, valid,
+        edge_free, num_bases=num_bases, dispersion=dispersion, tr_disc=5,
+        rot_disc=5, plane_threshold=0.15, min_distance_base=0.01,
+        internal_angle_threshold=30.0, flood_max_iters=64,
+    )
+
+
+def test_blocked_equals_sequential_without_decay(rng):
+    """With dispersion == 1.0 the decay is the identity, so the block-
+    parallel sampler reproduces the sequential chain's draws and validity
+    (per-base keys are derived identically). Segment masks are NOT
+    compared globally: the sequential path substitutes a cached earlier
+    segment when a seed pixel was already claimed (rgbd.cpp:326-331),
+    which parallel blocks cannot reproduce — but every base whose seed
+    was not previously claimed must fill identically."""
+    env = build_scene(rng)
+    pixel = np.asarray(env[5])
+    key = jax.random.PRNGKey(3)
+    seq = run_sequential(env, key, dispersion=1.0)
+    for bs in (4, 5):  # aligned and padding-tail block sizes
+        blk = run_blocked(env, key, dispersion=1.0, block_size=bs)
+        np.testing.assert_array_equal(
+            np.asarray(seq.indices), np.asarray(blk.indices)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seq.valid), np.asarray(blk.valid)
+        )
+        np.testing.assert_allclose(
+            np.asarray(seq.class_prob), np.asarray(blk.class_prob)
+        )
+        seq_masks = np.asarray(seq.seg_masks)
+        blk_masks = np.asarray(blk.seg_masks)
+        claimed = np.zeros_like(seq_masks[0])
+        # indices equality above makes seed pixels comparable per base
+        raw_seed = np.asarray(seq.indices)  # reordered, any of the 4 works
+        for b in range(1, seq_masks.shape[0]):
+            # seed = round-1 point = some member of the base; recompute
+            # claim state from sequential masks instead
+            fresh = True
+            for p in raw_seed[b - 1]:
+                if claimed[pixel[p, 0], pixel[p, 1]]:
+                    fresh = False
+            if fresh:
+                np.testing.assert_array_equal(
+                    seq_masks[b], blk_masks[b], err_msg=f"base {b}"
+                )
+            claimed |= seq_masks[b]
+
+
+def test_blocked_decay_accumulates_per_block(rng):
+    """With dispersion < 1 the blocked sampler applies dispersion**count at
+    block boundaries: after one full block, points inside k of the block's
+    segments carry prob * dispersion**k."""
+    env = build_scene(rng)
+    table, pos, nrm, prob, edge_prob, pixel, valid, edge_free = env
+    key = jax.random.PRNGKey(7)
+    out = run_blocked(env, key, dispersion=0.9, num_bases=4, block_size=4)
+    in_seg = np.asarray(out.seg_masks[1:])[
+        :, np.asarray(pixel)[:, 0], np.asarray(pixel)[:, 1]
+    ]                                     # [4, N]
+    counts = in_seg.sum(axis=0)
+    expected = np.asarray(prob) * 0.9 ** counts
+    np.testing.assert_allclose(
+        np.asarray(out.class_prob), expected, rtol=1e-5
+    )
+
+
+def build_easy_scene(rng, h=24, w=32):
+    """Scene cloud == model cloud, so every pair's PPF exists and the
+    sampling gates can actually pass (the random-cloud scene of
+    build_scene rejects nearly every base — fine for the equivalence
+    tests, useless for validity assertions)."""
+    mpos, mnrm = random_cloud(rng, 48)
+    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 5, 5)
+    n = mpos.shape[0]
+    prob = np.full(n, 0.9, np.float32)
+    flat = rng.choice(h * w, size=n, replace=False)
+    pixel = np.stack([flat // w, flat % w], axis=-1).astype(np.int32)
+    edge_prob = np.zeros(n, np.float32)
+    edge_free = np.ones((h, w), bool)
+    valid = np.ones(n, bool)
+    return (
+        table,
+        jnp.asarray(mpos), jnp.asarray(mnrm), jnp.asarray(prob),
+        jnp.asarray(edge_prob), jnp.asarray(pixel), jnp.asarray(valid),
+        jnp.asarray(edge_free),
+    )
+
+
+def test_blocked_produces_valid_bases(rng):
+    """Blocked bases must satisfy the same gates as sequential ones: all
+    four points inside the base's segment, none on an edge pixel."""
+    env = build_easy_scene(rng)
+    table, pos, nrm, prob, edge_prob, pixel, valid, edge_free = env
+    out = run_blocked(env, jax.random.PRNGKey(9), dispersion=0.9,
+                      num_bases=8, block_size=4)
+    ok = np.asarray(out.valid)
+    assert ok.any()
+    idx = np.asarray(out.indices)
+    pix = np.asarray(pixel)
+    ep = np.asarray(edge_prob)
+    for b in np.nonzero(ok)[0]:
+        seg = np.asarray(out.seg_masks[b + 1])
+        for p in idx[b]:
+            assert seg[pix[p, 0], pix[p, 1]], (b, p)
+            assert ep[p] < 1.0
