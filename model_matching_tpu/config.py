@@ -129,6 +129,16 @@ class MatchConfig:
     # for full recall). 0 disables compaction. Does not apply to exact
     # (no-coarse-to-fine) scoring.
     score_compact_cap: int = 131072
+    # Congruent extraction strategy for eager (non-jit) contexts: partition
+    # bases by pair-bin size on the host and run one fixed-cap program per
+    # tier (small tiers vmap-grouped) instead of a per-base lax.cond
+    # ladder. Output-identical to the monolithic program (congruent.py).
+    # Default False: on the measured v5e remote-dispatch backend the
+    # per-chunk count-pass host sync cancels the small-tier grouping gains
+    # (both paths time ~equal); the knob exists for backends with cheap
+    # host round-trips. In-jit callers (shard_map, multi-object) always
+    # use the monolithic path.
+    congruent_partition: bool = False
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
     # Fixed flood-fill sweep count (instance path). Each sweep combines an

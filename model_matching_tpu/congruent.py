@@ -25,6 +25,7 @@ one-base-sized.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -64,7 +65,18 @@ def extract_congruent_sets(
     invariant2: jax.Array,    # [B]
     base_valid: jax.Array,    # [B]
     cfg: MatchConfig,
+    tier_dispatch: bool = True,
+    group: int = 1,
+    base_keys: jax.Array | None = None,
 ) -> CongruentSets:
+    """`tier_dispatch=False` compiles a single fixed-cap branch
+    (cap = cfg.max_pairs_per_bin, no per-base lax.cond ladder); `group=G`
+    vmaps G bases per lax.map iteration (requires tier_dispatch=False —
+    vmapping the cond ladder would execute every branch); `base_keys`
+    overrides the internal split(key, B) with caller-supplied per-base
+    keys. All three are used by extract_congruent_sets_partitioned;
+    per-base outputs are invariant to the knobs (each base's subsample
+    salt comes from its own key)."""
     center, ratio = _unit_cube_params(model_pos)
     unit_pos = (model_pos - center) / ratio + 0.5
 
@@ -241,18 +253,26 @@ def extract_congruent_sets(
         # Fixture pair-count distribution (YCB bowl, docs/RESULTS.md):
         # p50=30, p90=535, p99=7887 — the 256 tier carries most bases at
         # ~half the 1024-tier cost (154 vs 323 us/base measured).
-        top_qb = 4096 if p_cap > 8192 else None
-        tiers = [c for c in (256, 1024, 4096) if c < p_cap]
+        top_qb = 4096 if p_cap >= 8192 else None
+        # 8192 carries most "dense" bases at half the top-tier matrix
+        # (fixture p99 = 7887 pairs; only ~1% of bases exceed 8192);
+        # its Q axis is blocked like the top tier's to bound the gate
+        # intermediate at [cap, 4096]
+        tiers = (
+            [(c, None) for c in (256, 1024, 4096) if c < p_cap]
+            + ([(8192, 4096)] if p_cap > 8192 else [])
+            if tier_dispatch else []
+        )
         if not tiers:
             quads, quad_valid, total = match_block(p_cap, top_qb)
         else:
             def dispatch(remaining):
                 if not remaining:
                     return match_block(p_cap, top_qb)
-                cap = remaining[0]
+                cap, qb = remaining[0]
                 return jax.lax.cond(
                     (p_total <= cap) & (q_total <= cap),
-                    lambda _: match_block(cap),
+                    lambda _: match_block(cap, qb),
                     lambda _: dispatch(remaining[1:]),
                     None,
                 )
@@ -263,8 +283,162 @@ def extract_congruent_sets(
         ).astype(jnp.int32)
 
     b = base_indices.shape[0]
-    keys = jax.random.split(key, b)
-    quads, quad_valid, totals, pair_counts = jax.lax.map(
-        one_base, (keys, base_indices, invariant1, invariant2, base_valid)
-    )
+    keys = jax.random.split(key, b) if base_keys is None else base_keys
+    args = (keys, base_indices, invariant1, invariant2, base_valid)
+    del base_keys
+    if group > 1:
+        assert not tier_dispatch, "group>1 requires tier_dispatch=False"
+        assert b % group == 0, (b, group)
+        grouped = jax.tree_util.tree_map(
+            lambda a: a.reshape((b // group, group) + a.shape[1:]), args
+        )
+        quads, quad_valid, totals, pair_counts = jax.lax.map(
+            jax.vmap(one_base), grouped
+        )
+        quads = quads.reshape((b,) + quads.shape[2:])
+        quad_valid = quad_valid.reshape((b,) + quad_valid.shape[2:])
+        totals = totals.reshape(b)
+        pair_counts = pair_counts.reshape(b, 2)
+    else:
+        quads, quad_valid, totals, pair_counts = jax.lax.map(
+            one_base, args
+        )
     return CongruentSets(quads, quad_valid, totals, pair_counts)
+
+
+# ---------------------------------------------------------------------------
+# host-partitioned tier execution (the eager fast path)
+# ---------------------------------------------------------------------------
+
+# per-tier (cap, q_block, vmap group): groups amortize the per-base fixed
+# cost (pair gathers, probes, top_k) that dominates small-cap tiers —
+# measured on v5e: cap-256 group 16 is 3.7x faster per base than group 1
+_TIERS = ((256, None, 16), (1024, None, 16), (4096, None, 4),
+          (8192, 4096, 1), (16384, 4096, 1))
+
+
+@partial(jax.jit, static_argnames=("tr", "rot"))
+def _pair_totals(table, scene_pos, scene_normal, base_indices, tr, rot):
+    """[B, 2] (p_total, q_total) — the tier-selection count pass."""
+
+    def one(bidx):
+        bp = scene_pos[bidx]
+        bn = scene_normal[bidx]
+
+        def tot(a, bb):
+            bins = ppf_bins(bp[a], bn[a], bp[bb], bn[bb], tr, rot)
+            return jnp.sum(lookup_pair_range(table, bins)[1])
+
+        return jnp.stack([tot(0, 1), tot(2, 3)])
+
+    return jax.vmap(one)(base_indices)
+
+
+def extract_congruent_sets_partitioned(
+    key: jax.Array,
+    table: PPFTable,
+    model_pos: jax.Array,
+    scene_pos: jax.Array,
+    scene_normal: jax.Array,
+    base_indices: jax.Array,
+    invariant1: jax.Array,
+    invariant2: jax.Array,
+    base_valid: jax.Array,
+    cfg: MatchConfig,
+    bucket_state: dict | None = None,
+) -> CongruentSets:
+    """Host-partitioned tier execution: count each base's pair-bin sizes, group
+    bases by tier on the host, and run one fixed-cap single-branch program
+    per occupied tier (vmap-grouped for the small tiers). Output-identical
+    to extract_congruent_sets — each base keeps its own key-derived
+    subsample salt and lands in the same tier the lax.cond ladder would
+    pick — but the small-bin majority stops paying the per-base fixed
+    cost, and dense bases no longer serialize behind a cond ladder.
+
+    Eager-context only (host control flow); the in-jit callers (shard_map
+    step, multi-object program) keep the monolithic version.
+
+    `bucket_state` (a caller-owned dict) holds per-tier padded-size
+    high-water marks so chunked sweeps reuse compiled programs instead of
+    recompiling when a tier's population wobbles."""
+    import numpy as np
+
+    b = base_indices.shape[0]
+    keys = jax.random.split(key, b)
+    counts = _pair_totals(
+        table, scene_pos, scene_normal, base_indices,
+        cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
+    )
+    counts_np = np.asarray(counts)
+    mx = counts_np.max(axis=1)
+    p_cap = cfg.max_pairs_per_bin
+
+    tiers = [t for t in _TIERS if t[0] < p_cap]
+    tiers.append((p_cap, 4096 if p_cap > 8192 else None,
+                  1 if p_cap > 4096 else 4))
+    caps = np.array([t[0] for t in tiers])
+    # tier index per base: first cap >= max(p, q); counts beyond the top
+    # cap stay in the top tier (truncated there, like the monolithic path)
+    tier_of = np.searchsorted(caps, np.minimum(mx, p_cap))
+
+    if bucket_state is None:
+        bucket_state = {}
+
+    quads = jnp.zeros((b, cfg.maximum_congruent_sets, 4), jnp.int32)
+    quad_valid = jnp.zeros((b, cfg.maximum_congruent_sets), bool)
+    totals = jnp.zeros((b,), jnp.int32)
+
+    import dataclasses as _dc
+
+    for ti, (cap, _qb, grp) in enumerate(tiers):
+        sel = np.nonzero(tier_of == ti)[0]
+        if sel.size == 0:
+            continue
+        # pad to a unit the group divides; the dense tier pads to 16 so the
+        # high-water mark (not every population wobble) decides recompiles
+        unit = max(grp, 64) if cap <= 4096 else 16
+        padded = -(-sel.size // unit) * unit
+        padded = max(padded, bucket_state.get(cap, 0))
+        bucket_state[cap] = padded
+        pad = padded - sel.size
+        # padding rows point past the end: the fused scatter drops them
+        sel_p = np.concatenate(
+            [sel, np.full(pad, b, np.int64)]
+        ) if pad else sel
+        quads, quad_valid, totals = _tier_step(
+            quads, quad_valid, totals, jnp.asarray(sel_p),
+            keys, base_indices, invariant1, invariant2, base_valid,
+            table, model_pos, scene_pos, scene_normal,
+            _dc.replace(cfg, max_pairs_per_bin=int(cap)), grp,
+        )
+
+    return CongruentSets(
+        quads, quad_valid, totals, counts.astype(jnp.int32)
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "group"),
+         donate_argnums=(0, 1, 2))
+def _tier_step(quads, quad_valid, totals, sel,
+               keys, base_indices, invariant1, invariant2, base_valid,
+               table, model_pos, scene_pos, scene_normal,
+               cfg: MatchConfig, group: int):
+    """One tier as ONE device dispatch: gather the tier's bases, run the
+    fixed-cap extraction, scatter results into the full-batch outputs.
+    `sel` rows equal to B are padding — their gathers clamp and their
+    scatters drop (mode='drop'). Fusing the bookkeeping into the jit
+    matters on remote-dispatch backends, where a dozen eager gather/
+    scatter ops per tier cost more than the extraction itself."""
+    b = base_indices.shape[0]
+    safe = jnp.minimum(sel, b - 1)
+    live = sel < b
+    out = extract_congruent_sets(
+        keys[0], table, model_pos, scene_pos, scene_normal,
+        base_indices[safe], invariant1[safe], invariant2[safe],
+        base_valid[safe] & live, cfg,
+        tier_dispatch=False, group=group, base_keys=keys[safe],
+    )
+    quads = quads.at[sel].set(out.quads, mode="drop")
+    quad_valid = quad_valid.at[sel].set(out.quad_valid, mode="drop")
+    totals = totals.at[sel].set(out.total_found, mode="drop")
+    return quads, quad_valid, totals

@@ -107,6 +107,21 @@ def _phase_congruent(key, table, model_pos, scene_pos, scene_normal,
     )
 
 
+def _run_congruent(key, model, scene, bases, cfg: MatchConfig,
+                   bucket_state=None):
+    """Eager congruent dispatch: host-partitioned tiers when enabled (the
+    fast path), else the monolithic jitted cond-ladder program."""
+    if cfg.congruent_partition:
+        return congruent.extract_congruent_sets_partitioned(
+            key, model.table, model.pos, scene.pos, scene.normal,
+            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+            cfg, bucket_state=bucket_state,
+        )
+    return _phase_congruent(
+        key, model.table, model.pos, scene.pos, scene.normal, bases, cfg
+    )
+
+
 @jax.jit
 def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
                bases: sampling.SampledBases, sets: congruent.CongruentSets):
@@ -265,10 +280,7 @@ class StocsEstimator:
                   f"{timings['sample_bases']*1e6:.0f} us")
 
         t0 = time.perf_counter()
-        sets = _phase_congruent(
-            k_cong, self.model.table, self.model.pos, self.scene.pos,
-            self.scene.normal, bases, cfg,
-        )
+        sets = _run_congruent(k_cong, self.model, self.scene, bases, cfg)
         sets = jax.block_until_ready(sets)
         timings["congruent_sets"] = time.perf_counter() - t0
 
@@ -395,6 +407,7 @@ class StocsEstimator:
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
         bits = self.exists_bits()
+        buckets = {}   # per-tier padded-size high-water marks across chunks
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
@@ -402,9 +415,9 @@ class StocsEstimator:
                 k_sample, self.model.table, self.scene.pos, self.scene.normal,
                 self.class_prob, self.scene.valid, cfg, chunk, bits,
             )
-            sets = _phase_congruent(
-                k_cong, self.model.table, self.model.pos, self.scene.pos,
-                self.scene.normal, bases, cfg,
+            sets = _run_congruent(
+                k_cong, self.model, self.scene, bases, cfg,
+                bucket_state=buckets,
             )
             poses = _phase_fit(
                 self.scene.pos, self.model.pos, self.scene.centroid,

@@ -203,3 +203,68 @@ def test_config_validates_ppf_discretization():
         ppf_table.build_ppf_table(
             np.zeros((4, 3), np.float32), np.ones((4, 3), np.float32), 5, 3
         )
+
+
+def test_partitioned_matches_monolithic(rng):
+    """extract_congruent_sets_partitioned must reproduce the monolithic
+    cond-ladder program exactly: same tier per base, same per-base key
+    salt, so identical valid quads, totals, and pair counts — across
+    mixed bin densities and regardless of the tier-bucket padding."""
+    mpos = rng.uniform(-0.1, 0.1, (80, 3)).astype(np.float32)
+    mpos[:, 2] = rng.normal(0, 0.002, 80)
+    _junk, mnrm = random_cloud(rng, 80)
+    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 5, 5)
+    spos, snrm = mpos.copy(), mnrm.copy()
+    cfg = MatchConfig(
+        max_pairs_per_bin=1024,
+        maximum_congruent_sets=32,
+        congruent_cos_tolerance=0.3,
+    )
+
+    b = 24
+    idx = np.stack([rng.choice(80, 4, replace=False) for _ in range(b)])
+    perm, i1, i2, _d = invariants.reorder_base(jnp.asarray(spos[idx]))
+    bases = np.take_along_axis(idx, np.asarray(perm), axis=-1).astype(
+        np.int32
+    )
+    valid = np.ones(b, bool)
+    valid[3] = False  # masked bases must stay masked in both paths
+
+    args = (
+        table, jnp.asarray(mpos), jnp.asarray(spos), jnp.asarray(snrm),
+        jnp.asarray(bases), i1, i2, jnp.asarray(valid), cfg,
+    )
+    key = jax.random.PRNGKey(5)
+    mono = congruent.extract_congruent_sets(key, *args)
+    buckets = {}
+    part = congruent.extract_congruent_sets_partitioned(
+        key, *args, bucket_state=buckets
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.quad_valid), np.asarray(part.quad_valid)
+    )
+    mv = np.asarray(mono.quad_valid)
+    np.testing.assert_array_equal(
+        np.asarray(mono.quads)[mv], np.asarray(part.quads)[mv]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.total_found), np.asarray(part.total_found)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mono.pair_counts), np.asarray(part.pair_counts)
+    )
+    assert buckets  # the high-water marks were recorded
+
+    # a second call with grown buckets (forced padding) must not change
+    # any output
+    for k in list(buckets):
+        buckets[k] = buckets[k] * 2
+    part2 = congruent.extract_congruent_sets_partitioned(
+        key, *args, bucket_state=buckets
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part.quad_valid), np.asarray(part2.quad_valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(part.quads)[mv], np.asarray(part2.quads)[mv]
+    )
