@@ -154,10 +154,11 @@ class MatchConfig:
     # sequential chain (each base sees the dispersion decay of every
     # earlier base, stocs.cpp:571-580). K > 1 = sample K bases per block
     # with batched flood fills and apply the decay at block boundaries —
-    # intra-block draws repel less (documented divergence; identical
-    # cumulative decay over a run, and exactly equal draws when
-    # sample_dispersion == 1.0). Large budgets on the packed dataset
-    # should use 8-16.
+    # intra-block draws repel less and seed-pixel cache hits fill fresh
+    # instead of reusing the claiming base's mask (divergences documented
+    # in instance.sample_instance_bases_blocked; cumulative decay over a
+    # run is identical). Large budgets on the packed dataset should use
+    # 8-16 (mainly a compile-time win, see docs/RESULTS.md).
     instance_block_size: int = 1
 
     # Angular gate half-width (cosine units) applied between pair directions in
@@ -216,6 +217,15 @@ class MatchConfig:
                 f"ppf_tr_discretization must be >= 1, got "
                 f"{self.ppf_tr_discretization}"
             )
+        # dense congruent tiers block the Q axis in 4096-wide chunks
+        # (congruent.py match_block reshapes [cap] -> [cap/4096, 4096])
+        if self.max_pairs_per_bin >= 8192 and self.max_pairs_per_bin % 4096:
+            raise ValueError(
+                f"max_pairs_per_bin >= 8192 must be a multiple of 4096, "
+                f"got {self.max_pairs_per_bin}"
+            )
+        if self.max_pairs_per_bin < 1:
+            raise ValueError("max_pairs_per_bin must be positive")
 
 
 @dataclasses.dataclass(frozen=True)

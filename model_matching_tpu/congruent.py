@@ -163,8 +163,10 @@ def extract_congruent_sets(
             # must not materialize per-element state beyond the match
             # matrix: each element's key is rand_p[p] ^ rand_q[q] (pairwise-
             # decorrelated XOR of two mixed streams), packed as
-            # (17-bit rand | 14-bit q index) into a positive int32 so a
-            # plain max reduction both samples and records the winner.
+            # (rand | marker bit | q index) into a positive int32 so a
+            # plain max reduction both samples and records the winner (the
+            # marker bit keeps every real match nonzero, so a zero-rand
+            # column-0 match can never be mistaken for the empty sentinel).
             # Reducing over Q in `sub` stripes keeps up to `sub` candidates
             # per P row (pure one-per-row starves diversity when a bin has
             # few distinct P pairs); the final top_k runs over [cap*sub]
@@ -176,8 +178,11 @@ def extract_congruent_sets(
             rp = _mix32_jnp(
                 jnp.arange(cap, dtype=jnp.uint32) ^ salt
             )[:, None]
-            col_bits = 14  # cap <= 16384 always (max_pairs_per_bin)
-            rand_mask = jnp.uint32(0x7FFFFFFF & ~((1 << col_bits) - 1))
+            col_bits = max(14, (cap - 1).bit_length())
+            marker = jnp.uint32(1 << col_bits)
+            rand_mask = jnp.uint32(
+                0x7FFFFFFF & ~((1 << (col_bits + 1)) - 1)
+            )
             sub = 16
             while qb % sub:
                 sub //= 2
@@ -211,7 +216,7 @@ def extract_congruent_sets(
 
                 cols = jnp.arange(qb, dtype=jnp.uint32) + jnp.uint32(qb) * bi
                 rq = _mix32_jnp(cols ^ salt ^ jnp.uint32(0x9E3779B9))
-                v = ((rp ^ rq[None, :]) & rand_mask) | cols[None, :]
+                v = ((rp ^ rq[None, :]) & rand_mask) | marker | cols[None, :]
                 v = jnp.where(match, v, jnp.uint32(0))
                 return (
                     jnp.max(v.reshape(cap, sub, qb // sub), axis=2),

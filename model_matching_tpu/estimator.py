@@ -208,6 +208,67 @@ def _phase_refine(best_t, model: ModelPack, scene: ScenePack, class_prob,
     return refined, new_lcp
 
 
+def finish_sweep_pool(pool_s, pool_t, pool_w, model: ModelPack,
+                      scene: ScenePack, class_prob, cfg: MatchConfig,
+                      total_bases: int, n_hyp_total: int, t_start: float,
+                      verbose: bool = True, event: str = "stocs_sweep",
+                      extra_stats: Optional[dict] = None):
+    """Shared tail of the single-chip and sharded sweeps: pool argmax, ICP
+    polish of the winner, greedy clustering of the pooled hypotheses
+    (pruned against the RAW pool best — an ICP-refined best would
+    over-prune, pose_clustering.cpp:93-97), stats and logging.
+
+    Returns (best_lcp, best_world_transform, clustered_transforms,
+    clustered_lcp, stats)."""
+    best_i = int(jnp.argmax(pool_s))
+    best_lcp = float(pool_s[best_i])
+    best_w = np.asarray(pool_w[best_i])
+    raw_best = best_lcp
+
+    if cfg.refine_best_pose and best_lcp > 0:
+        refined, new_lcp = _phase_refine(
+            pool_t[best_i], model, scene, class_prob, cfg
+        )
+        if float(new_lcp) >= best_lcp:
+            a = np.eye(4, dtype=np.float32)
+            a[:3, 3] = np.asarray(scene.centroid)
+            bmat = np.eye(4, dtype=np.float32)
+            bmat[:3, 3] = -np.asarray(model.centroid)
+            best_w = a @ np.asarray(refined) @ bmat
+            best_lcp = float(new_lcp)
+    elapsed = time.perf_counter() - t_start
+
+    cidx, cmask = clustering.greedy_clustering(
+        pool_w, pool_s, pool_s > 0,
+        cfg.cluster_acceptable_fraction, jnp.float32(raw_best),
+        cfg.cluster_max_pose_count, cfg.cluster_min_distance,
+        cfg.cluster_min_angle,
+        jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
+    )
+    sel = np.asarray(cidx)[np.asarray(cmask)]
+    stats = {
+        "total_bases": total_bases,
+        "hypotheses": n_hyp_total,
+        "seconds": elapsed,
+        "bases_per_sec": total_bases / elapsed,
+        "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
+        **(extra_stats or {}),
+    }
+    from .utils.log import log_event
+
+    log_event(event, best_lcp=best_lcp, clusters=len(sel), **stats)
+    if verbose:
+        print(
+            f"sweep: {total_bases} bases -> {n_hyp_total} hypotheses in "
+            f"{elapsed:.1f}s ({stats['bases_per_sec']:.0f} bases/s), "
+            f"best lcp {best_lcp:.3f}, {len(sel)} clusters"
+        )
+    return (
+        best_lcp, best_w,
+        np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+    )
+
+
 class StocsEstimator:
     """One (model, scene) matching session. The class path (no edge map) is
     fully batched; the instance path threads flood-fill segments through a
@@ -257,6 +318,19 @@ class StocsEstimator:
                 cfg, cfg.number_of_bases,
             )
             inst = jax.block_until_ready(inst)
+            n_unconverged = int(jnp.sum(~inst.fill_converged))
+            if n_unconverged:
+                from .utils.log import warn
+
+                warn(
+                    f"{n_unconverged} flood fills did not reach their BFS "
+                    f"fixpoint in flood_fill_sweeps="
+                    f"{cfg.flood_fill_sweeps} sweeps — segments under-fill; "
+                    f"raise the sweep count for scenes with winding "
+                    f"free-space regions",
+                    n_unconverged=n_unconverged,
+                    sweeps=cfg.flood_fill_sweeps,
+                )
             bases = sampling.SampledBases(
                 inst.indices, inst.invariant1, inst.invariant2, inst.valid
             )
@@ -399,10 +473,13 @@ class StocsEstimator:
         of parallel.sharding.matching_step_sharded's per-device loop.
 
         Returns (best_lcp, best_world_transform, clustered_transforms,
-        clustered_lcp, stats)."""
+        clustered_lcp, stats). A `total_bases` that is not a multiple of
+        `chunk` is rounded up; stats report the bases actually
+        processed."""
         cfg = dataclasses.replace(self.cfg, number_of_bases=chunk)
         key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         n_chunks = -(-total_bases // chunk)
+        total_bases = n_chunks * chunk
 
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
@@ -446,60 +523,12 @@ class StocsEstimator:
                 f"raise the cap for full recall",
                 n_valid=int(nvs.max()), cap=cap,
             )
-        pool_s = jnp.concatenate(pool_s)
-        pool_t = jnp.concatenate(pool_t)
-        pool_w = jnp.concatenate(pool_w)
-
-        best_i = int(jnp.argmax(pool_s))
-        best_lcp = float(pool_s[best_i])
-        best_w = np.asarray(pool_w[best_i])
-        # the clustering prune compares raw pool scores against the best;
-        # an ICP-refined best would over-prune (the reference clusters the
-        # raw hypothesis set, pose_clustering.cpp:93-97)
-        raw_best = best_lcp
-
-        # ICP polish of the sweep winner, like the single-run path
-        if cfg.refine_best_pose and best_lcp > 0:
-            refined, new_lcp = _phase_refine(
-                pool_t[best_i], self.model, self.scene, self.class_prob, cfg
-            )
-            if float(new_lcp) >= best_lcp:
-                a = np.eye(4, dtype=np.float32)
-                a[:3, 3] = np.asarray(self.scene.centroid)
-                bmat = np.eye(4, dtype=np.float32)
-                bmat[:3, 3] = -np.asarray(self.model.centroid)
-                best_w = a @ np.asarray(refined) @ bmat
-                best_lcp = float(new_lcp)
-        elapsed = time.perf_counter() - t_start
-
-        cidx, cmask = clustering.greedy_clustering(
-            pool_w, pool_s, pool_s > 0,
-            cfg.cluster_acceptable_fraction, jnp.float32(raw_best),
-            cfg.cluster_max_pose_count, cfg.cluster_min_distance,
-            cfg.cluster_min_angle,
-            jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
-        )
-        sel = np.asarray(cidx)[np.asarray(cmask)]
-        stats = {
-            "total_bases": total_bases,
-            "hypotheses": n_hyp_total,
-            "seconds": elapsed,
-            "bases_per_sec": total_bases / elapsed,
-            "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
-        }
-        from .utils.log import log_event
-
-        log_event("stocs_sweep", best_lcp=best_lcp, clusters=len(sel),
-                  **stats)
-        if verbose:
-            print(
-                f"sweep: {total_bases} bases -> {n_hyp_total} hypotheses in "
-                f"{elapsed:.1f}s ({stats['bases_per_sec']:.0f} bases/s), "
-                f"best lcp {best_lcp:.3f}, {len(sel)} clusters"
-            )
-        return (
-            best_lcp, best_w,
-            np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+        return finish_sweep_pool(
+            jnp.concatenate(pool_s), jnp.concatenate(pool_t),
+            jnp.concatenate(pool_w),
+            self.model, self.scene, self.class_prob, cfg,
+            total_bases=total_bases, n_hyp_total=n_hyp_total,
+            t_start=t_start, verbose=verbose,
         )
 
     def cluster_poses(self, result: StocsResult):

@@ -68,6 +68,7 @@ def flood_fill(
     max_pixel_distance,      # scalar — euclidean radius around the seed
     max_iters: int = 512,
     fixed_sweeps: int | None = None,
+    return_converged: bool = False,
 ):
     """Boolean segment mask. The seed pixel is always in the mask (the
     reference marks it before testing, rgbd.cpp:337-343); neighbors must be
@@ -84,7 +85,12 @@ def flood_fill(
     k >= the convergence count (one sweep spans an entire row/column
     corridor; convergence takes O(region bends), 3 on the bundled packed
     fixture) yields the exact BFS reachability; tests/test_flood.py checks
-    the default against the literal queue BFS on real fixture edge maps."""
+    the default against the literal queue BFS on real fixture edge maps.
+
+    `return_converged=True` additionally runs one verification sweep and
+    returns (mask, converged) — converged=False means fixed_sweeps was too
+    small for this region (the mask under-fills the BFS reachability);
+    callers surface that as a runtime warning."""
     h, w = edge_free.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -103,9 +109,12 @@ def flood_fill(
         return new
 
     if fixed_sweeps is not None:
-        return jax.lax.fori_loop(
+        mask = jax.lax.fori_loop(
             0, fixed_sweeps, lambda _, m: sweep(m), seed
         )
+        if return_converged:
+            return mask, jnp.all(sweep(mask) == mask)
+        return mask
 
     def cond(state):
         i, mask, changed = state
@@ -116,7 +125,9 @@ def flood_fill(
         new = sweep(mask)
         return i + 1, new, jnp.any(new != mask)
 
-    _, mask, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
+    i, mask, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
+    if return_converged:
+        return mask, i < max_iters
     return mask
 
 

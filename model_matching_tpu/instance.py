@@ -34,6 +34,8 @@ class InstanceSamples(NamedTuple):
     valid: jax.Array        # [B]
     class_prob: jax.Array   # [N] final decayed class probabilities
     seg_masks: jax.Array    # [B+1, H, W] bool — per-base segments (0 unused)
+    fill_converged: jax.Array  # [B] bool — flood fill reached its fixpoint
+                               # (False = flood_fill_sweeps too small)
 
 
 def _make_base_step(
@@ -88,16 +90,18 @@ def _make_base_step(
         cached_id = seg_buffer[seed_rc[0], seed_rc[1]]
 
         def reuse(_):
-            return masks[cached_id], seg_buffer
+            return masks[cached_id], seg_buffer, jnp.array(True)
 
         def fresh(_):
-            m = flood.flood_fill(
+            m, conv = flood.flood_fill(
                 seed_rc, edge_free, max_pix_dist, max_iters=flood_max_iters,
-                fixed_sweeps=flood_sweeps,
+                fixed_sweeps=flood_sweeps, return_converged=True,
             )
-            return m, jnp.where(m, base_num, seg_buffer)
+            return m, jnp.where(m, base_num, seg_buffer), conv
 
-        seg_mask, seg_buffer = jax.lax.cond(cached_id != 0, reuse, fresh, None)
+        seg_mask, seg_buffer, fill_ok = jax.lax.cond(
+            cached_id != 0, reuse, fresh, None
+        )
         masks = jax.lax.dynamic_update_index_in_dim(
             masks, seg_mask, base_num, axis=0
         )
@@ -124,7 +128,7 @@ def _make_base_step(
         idx4, ok4 = draw(k4, probs)
 
         raw = jnp.stack([idx1, idx2, idx3, idx4])
-        out = (raw, ok1 & ok2 & ok3 & ok4)
+        out = (raw, ok1 & ok2 & ok3 & ok4, fill_ok)
         return (class_prob, prev_segment, seg_buffer, masks), out
 
     return one_base
@@ -190,15 +194,19 @@ def sample_instance_bases_stepwise(
     keys = base_keys.reshape((nb, block) + base_keys.shape[1:])
     nums = jnp.arange(1, total + 1, dtype=jnp.int32).reshape(nb, block)
     active = (jnp.arange(total) < num_bases).reshape(nb, block)
-    raws, oks = [], []
+    raws, oks, fills = [], [], []
     for i in range(nb):
-        carry, (raw, ok) = run_block(carry, (nums[i], keys[i], active[i]))
+        carry, (raw, ok, fill_ok) = run_block(
+            carry, (nums[i], keys[i], active[i])
+        )
         raws.append(raw)
         oks.append(ok)
+        fills.append(fill_ok)
     class_prob = carry[0]
     masks = carry[3][: num_bases + 1]
     raws = jnp.concatenate(raws)[:num_bases]
     oks = jnp.concatenate(oks)[:num_bases]
+    fills = jnp.concatenate(fills)[:num_bases]
 
     from .ops import invariants
 
@@ -207,7 +215,7 @@ def sample_instance_bases_stepwise(
     reordered = jnp.take_along_axis(raws, perm, axis=-1)
     return InstanceSamples(
         indices=reordered, invariant1=inv1, invariant2=inv2, valid=oks,
-        class_prob=class_prob, seg_masks=masks,
+        class_prob=class_prob, seg_masks=masks, fill_converged=fills,
     )
 
 
@@ -233,16 +241,19 @@ def sample_instance_bases_blocked(
     dispersion decay is applied once per block (dispersion**count of the
     block's segments covering each point).
 
-    DOCUMENTED DIVERGENCE from the reference's strictly sequential
-    sample_instance_base (stocs.cpp:559-751): bases within one block do
-    not see each other's decay, so intra-block draws repel less than the
-    sequential chain (the cumulative decay exponent over a full run is
-    identical, only the ordering differs). The seed-pixel mask cache is
-    also skipped — fills are deterministic per seed, so a cache hit and a
-    fresh fill produce the same mask; the cache only saves work in the
-    sequential path. With dispersion == 1.0 this function reproduces the
-    sequential sampler's draws exactly (per-base keys are derived
-    identically), which tests/test_instance.py asserts.
+    DOCUMENTED DIVERGENCES from the reference's strictly sequential
+    sample_instance_base (stocs.cpp:559-751): (a) bases within one block
+    do not see each other's decay, so intra-block draws repel less than
+    the sequential chain (the cumulative decay exponent over a full run
+    is identical — segments of bases 1..B-1 each decay once — only the
+    ordering differs); (b) the seed-pixel mask cache is skipped: when a
+    seed lands inside an earlier base's claimed segment, the sequential
+    path substitutes THAT base's mask (different seed and radius,
+    rgbd.cpp:326-331) while this path always fills fresh from the
+    current seed. With dispersion == 1.0 and no divergent cache hits the
+    draws match the sequential sampler exactly (per-base keys are
+    derived identically); tests/test_instance.py pins both the match and
+    the cache-hit caveat.
     """
     h, w = edge_free.shape
     n = pos.shape[0]
@@ -257,7 +268,7 @@ def sample_instance_bases_blocked(
         )(keys, probs)
         return idx[:, 0], ok[:, 0]
 
-    def run_block(class_prob, base_keys, active):
+    def run_block(class_prob, base_keys, active, decay_active):
         ks = jax.vmap(lambda k: jax.random.split(k, 4))(base_keys)
         k1, k2, k3, k4 = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
@@ -278,10 +289,10 @@ def sample_instance_bases_blocked(
         ))
         max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0), axis=1)
 
-        masks = jax.vmap(
+        masks, fill_ok = jax.vmap(
             lambda rc, d: flood.flood_fill(
                 rc, edge_free, d, max_iters=flood_max_iters,
-                fixed_sweeps=flood_sweeps,
+                fixed_sweeps=flood_sweeps, return_converged=True,
             )
         )(seed_rc, max_pix_dist)                           # [K, H, W]
 
@@ -300,17 +311,20 @@ def sample_instance_bases_blocked(
         ), probs, 0.0)
         idx4, ok4 = draw_rows(k4, probs)
 
-        # block-boundary decay: every sampled base's segment decays the
-        # prior once, like the sequential chain does at the start of the
-        # following base (stocs.cpp:571-580); padding steps are inert
+        # block-boundary decay: a base's segment decays the prior once,
+        # exactly when the sequential chain would — at the start of the
+        # FOLLOWING base (stocs.cpp:571-580). The final base of the run
+        # has no follower, so its segment never decays (decay_active);
+        # padding steps are inert (active)
         counts = jnp.sum(
-            (in_seg & active[:, None]).astype(jnp.float32), axis=0
+            (in_seg & (active & decay_active)[:, None]).astype(jnp.float32),
+            axis=0,
         )
         class_prob = jnp.where(
             valid, class_prob * dispersion ** counts, class_prob
         )
         raw = jnp.stack([idx1, idx2, idx3, idx4], axis=1)  # [K, 4]
-        return class_prob, raw, ok1 & ok2 & ok3 & ok4, masks
+        return class_prob, raw, ok1 & ok2 & ok3 & ok4, masks, fill_ok
 
     run_block_j = jax.jit(run_block, donate_argnums=(0,))
 
@@ -326,18 +340,23 @@ def sample_instance_bases_blocked(
         )
     keys_b = base_keys.reshape((nb, k_block) + base_keys.shape[1:])
     active = (jnp.arange(total) < num_bases).reshape(nb, k_block)
+    # the last real base's segment never decays anyone (sequential parity)
+    decay_active = (jnp.arange(total) < num_bases - 1).reshape(nb, k_block)
 
     class_prob = jnp.array(class_prob0)
-    raws, oks, masks_out = [], [], [jnp.zeros((1, h, w), bool)]
+    raws, oks, fills = [], [], []
+    masks_out = [jnp.zeros((1, h, w), bool)]
     for i in range(nb):
-        class_prob, raw, ok, masks = run_block_j(
-            class_prob, keys_b[i], active[i]
+        class_prob, raw, ok, masks, fill_ok = run_block_j(
+            class_prob, keys_b[i], active[i], decay_active[i]
         )
         raws.append(raw)
         oks.append(ok)
+        fills.append(fill_ok)
         masks_out.append(masks)
     raws = jnp.concatenate(raws)[:num_bases]
     oks = jnp.concatenate(oks)[:num_bases]
+    fills = jnp.concatenate(fills)[:num_bases]
     seg_masks = jnp.concatenate(masks_out)[: num_bases + 1]
 
     from .ops import invariants
@@ -347,7 +366,7 @@ def sample_instance_bases_blocked(
     reordered = jnp.take_along_axis(raws, perm, axis=-1)
     return InstanceSamples(
         indices=reordered, invariant1=inv1, invariant2=inv2, valid=oks,
-        class_prob=class_prob, seg_masks=seg_masks,
+        class_prob=class_prob, seg_masks=seg_masks, fill_converged=fills,
     )
 
 
@@ -386,7 +405,7 @@ def sample_instance_bases(
         jnp.zeros((h, w), jnp.int32),
         jnp.zeros((num_bases + 1, h, w), bool),
     )
-    (class_prob, _prev, _buf, masks), (raws, oks) = jax.lax.scan(
+    (class_prob, _prev, _buf, masks), (raws, oks, fills) = jax.lax.scan(
         one_base, carry0, (base_nums, keys, jnp.ones(num_bases, bool))
     )
 
@@ -402,4 +421,5 @@ def sample_instance_bases(
         valid=oks,
         class_prob=class_prob,
         seg_masks=masks,
+        fill_converged=fills,
     )

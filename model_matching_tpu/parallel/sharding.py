@@ -228,15 +228,15 @@ def run_sweep_sharded(
     greedily clustered on the host. Multi-chip counterpart of
     StocsEstimator.run_sweep with identical return shape:
     (best_lcp, best_world_transform, clustered_transforms, clustered_lcp,
-    stats)."""
-    from .. import clustering, icp
-
+    stats). A `total_bases` that is not a multiple of `chunk` is rounded
+    up; stats report the bases actually processed."""
     n_dev = mesh.devices.size
     if chunk % n_dev:
         raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
     b_local = chunk // n_dev
     keep_local = max(1, keep_per_chunk // n_dev)
     n_chunks = -(-total_bases // chunk)
+    actual_bases = n_chunks * chunk
 
     key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
     t_start = time.perf_counter()
@@ -259,65 +259,11 @@ def run_sweep_sharded(
     pool_t = jnp.concatenate(pool_t)
     pool_w = jnp.concatenate(pool_w)
 
-    best_i = int(jnp.argmax(pool_s))
-    best_lcp = float(pool_s[best_i])
-    best_w = np.asarray(pool_w[best_i])
-    # the clustering prune compares raw pool scores against the best; an
-    # ICP-refined best would over-prune (reference: pose_clustering.cpp:93-97)
-    raw_best = best_lcp
+    from ..estimator import finish_sweep_pool
 
-    # ICP polish of the sweep winner (same policy as the single-chip sweep)
-    if cfg.refine_best_pose and best_lcp > 0:
-        refined = icp.refine_pose(
-            pool_t[best_i], model.pos, model.valid,
-            scene.icp_grid, scene.pos, scene.normal,
-            max_corr_dist=cfg.icp_max_corr_dist,
-            iterations=cfg.icp_iterations,
-        )
-        new_lcp = float(scoring.score_transforms(
-            refined[None], jnp.ones(1, bool),
-            model.pos, model.normal, model.valid,
-            scene.grid, scene.pos, scene.normal, scene.class_prob,
-            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-            model_count=jnp.sum(model.valid.astype(jnp.float32)),
-        )[0])
-        if new_lcp >= best_lcp:
-            a = np.eye(4, dtype=np.float32)
-            a[:3, 3] = np.asarray(scene.centroid)
-            bmat = np.eye(4, dtype=np.float32)
-            bmat[:3, 3] = -np.asarray(model.centroid)
-            best_w = a @ np.asarray(refined) @ bmat
-            best_lcp = new_lcp
-    elapsed = time.perf_counter() - t_start
-
-    cidx, cmask = clustering.greedy_clustering(
-        pool_w, pool_s, pool_s > 0,
-        cfg.cluster_acceptable_fraction, jnp.float32(raw_best),
-        cfg.cluster_max_pose_count, cfg.cluster_min_distance,
-        cfg.cluster_min_angle,
-        jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
-    )
-    sel = np.asarray(cidx)[np.asarray(cmask)]
-    stats = {
-        "total_bases": total_bases,
-        "hypotheses": n_hyp_total,
-        "seconds": elapsed,
-        "bases_per_sec": total_bases / elapsed,
-        "hypotheses_per_sec": n_hyp_total / elapsed if elapsed else 0.0,
-        "devices": n_dev,
-    }
-    from ..utils.log import log_event
-
-    log_event("stocs_sweep_sharded", best_lcp=best_lcp, clusters=len(sel),
-              **stats)
-    if verbose:
-        print(
-            f"sharded sweep ({n_dev} devices): {total_bases} bases -> "
-            f"{n_hyp_total} hypotheses in {elapsed:.1f}s "
-            f"({stats['bases_per_sec']:.0f} bases/s), best lcp "
-            f"{best_lcp:.3f}, {len(sel)} clusters"
-        )
-    return (
-        best_lcp, best_w,
-        np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+    return finish_sweep_pool(
+        pool_s, pool_t, pool_w, model, scene, scene.class_prob, cfg,
+        total_bases=actual_bases, n_hyp_total=n_hyp_total,
+        t_start=t_start, verbose=verbose, event="stocs_sweep_sharded",
+        extra_stats={"devices": n_dev},
     )

@@ -196,16 +196,17 @@ def test_blocked_equals_sequential_without_decay(rng):
 
 
 def test_blocked_decay_accumulates_per_block(rng):
-    """With dispersion < 1 the blocked sampler applies dispersion**count at
-    block boundaries: after one full block, points inside k of the block's
-    segments carry prob * dispersion**k."""
+    """With dispersion < 1 the blocked sampler applies dispersion**count
+    at block boundaries. Like the sequential chain (each segment decays
+    when the FOLLOWING base starts, stocs.cpp:571-580), the final base's
+    segment never decays anyone."""
     env = build_scene(rng)
     table, pos, nrm, prob, edge_prob, pixel, valid, edge_free = env
     key = jax.random.PRNGKey(7)
     out = run_blocked(env, key, dispersion=0.9, num_bases=4, block_size=4)
-    in_seg = np.asarray(out.seg_masks[1:])[
+    in_seg = np.asarray(out.seg_masks[1:4])[   # bases 1..B-1 only
         :, np.asarray(pixel)[:, 0], np.asarray(pixel)[:, 1]
-    ]                                     # [4, N]
+    ]
     counts = in_seg.sum(axis=0)
     expected = np.asarray(prob) * 0.9 ** counts
     np.testing.assert_allclose(
