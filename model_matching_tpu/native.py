@@ -28,8 +28,11 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH):
-            src = os.path.join(_NATIVE_DIR, "mm_native.cpp")
+        src = os.path.join(_NATIVE_DIR, "mm_native.cpp")
+        stale = os.path.exists(_SO_PATH) and os.path.exists(src) and (
+            os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
+        )
+        if not os.path.exists(_SO_PATH) or stale:
             if os.path.exists(src) and os.environ.get("MM_NO_NATIVE") != "1":
                 try:
                     subprocess.run(
@@ -54,6 +57,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm_parse_floats.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+        ]
+        lib.mm_fanout_pack.restype = None
+        lib.mm_fanout_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return _lib
@@ -93,3 +103,24 @@ def parse_floats(data: bytes, max_count: int) -> Optional[np.ndarray]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_count,
     )
     return out[:n]
+
+
+def fanout_pack(keys: np.ndarray, tr: int, rot: int,
+                deltas: np.ndarray) -> Optional[np.ndarray]:
+    """[U*128] packed fan-out keys (-1 rejected) for the existence-set
+    build; threaded C++ when available (the 81 s numpy hot spot of
+    obj_06 preprocessing, see ppf_table.fanout_keys_np for the
+    semantics)."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.int32)
+    deltas = np.ascontiguousarray(deltas, np.int32)
+    out = np.empty(keys.shape[0] * 128, np.int32)
+    lib.mm_fanout_pack(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        keys.shape[0], tr, rot,
+        deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

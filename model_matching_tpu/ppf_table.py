@@ -98,6 +98,43 @@ def pack_query_np(bins: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
     return np.where(bad, -1, key).astype(np.int32)
 
 
+def fanout_keys(uniq_keys: np.ndarray, tr_disc: int, rot_disc: int
+                ) -> np.ndarray:
+    """[U*128] packed fan-out keys (-1 where the insert-side rejection
+    applies) of the existence-set build: the deltas act directly in
+    quotient space (fanout bins are quotient-aligned), so no unpack-to-
+    bins round trip is needed. Semantics identical to
+    pack_query_np(unpack + deltas*disc); tests/test_ppf.py pins the
+    equivalence. Threaded C++ when available, vectorized numpy fallback
+    (the old bins-space path cost 81 s on obj_06's 22.8M fanned rows)."""
+    from . import native
+
+    deltas = fanout_deltas(tr_disc, rot_disc)
+    out = native.fanout_pack(uniq_keys, tr_disc, rot_disc, deltas)
+    if out is not None:
+        return out
+    k = uniq_keys.astype(np.int64)
+    q = np.empty((k.shape[0], 4), np.int32)
+    q[:, 3] = k % _ANGLE_RADIX
+    k //= _ANGLE_RADIX
+    q[:, 2] = k % _ANGLE_RADIX
+    k //= _ANGLE_RADIX
+    q[:, 1] = k % _ANGLE_RADIX
+    q[:, 0] = k // _ANGLE_RADIX
+    nq = q[:, None, :] + deltas[None, :, :]          # [U, 128, 4] int32
+    key = (
+        (nq[..., 0].astype(np.int64) * _ANGLE_RADIX + nq[..., 1])
+        * _ANGLE_RADIX + nq[..., 2]
+    ) * _ANGLE_RADIX + nq[..., 3]
+    bad = (
+        (nq[..., 0] * tr_disc <= MIN_DISTANCE_BIN_MM)
+        | (nq[..., 1:] < 0).any(axis=-1)
+        | (nq[..., 1:] >= _ANGLE_RADIX).any(axis=-1)
+        | (key > np.iinfo(np.int32).max)
+    )
+    return np.where(bad, -1, key).astype(np.int32).reshape(-1)
+
+
 def unpack_key_np(keys: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
     k = keys.astype(np.int64)
     q4 = k % _ANGLE_RADIX
@@ -295,11 +332,7 @@ def build_ppf_table(
 
     # existence set: fan each unique exact bin out by the 128 insertion
     # deltas, apply the insert-side rejection, dedupe
-    uniq_bins = unpack_key_np(uniq_keys, tr_disc, rot_disc)
-    deltas = fanout_deltas(tr_disc, rot_disc)  # [128, 4] in bin-index units
-    scale = np.array([tr_disc, rot_disc, rot_disc, rot_disc], dtype=np.int32)
-    fanned = uniq_bins[:, None, :] + deltas[None, :, :] * scale  # [U, 128, 4]
-    fan_keys = pack_query_np(fanned, tr_disc, rot_disc).reshape(-1)
+    fan_keys = fanout_keys(uniq_keys, tr_disc, rot_disc)
     fan_keys = np.unique(fan_keys[fan_keys >= 0])
 
     exist_table_idx, exist_probes = _build_open_table(fan_keys)

@@ -103,6 +103,56 @@ float mm_ppf_pair_keys(const float* pos, const float* nrm, int m, int tr,
   return out;
 }
 
+// Expand each packed exact-bin key by the 128-way insertion fan-out
+// (p1 in {f-tr, f}, angles in {f-2r, f-r, f, f+r}; rgbd.cpp:130-133) with
+// the insert-side rejection (distance bin <= 5 mm or negative angles,
+// rgbd.cpp:135-136). deltas: [128, 4] int32 quotient-space offsets.
+// out: u * 128 int32 keys, -1 where rejected. Threaded over keys.
+void mm_fanout_pack(const int32_t* keys, long u, int tr, int rot,
+                    const int32_t* deltas, int32_t* out) {
+  const unsigned hw = std::thread::hardware_concurrency();
+  const int nthreads = static_cast<int>(hw ? (hw < 64 ? hw : 64) : 4);
+  std::vector<std::thread> workers;
+  std::atomic<long> next{0};
+  constexpr long kBlock = 4096;
+
+  auto work = [&]() {
+    for (;;) {
+      const long start = next.fetch_add(kBlock);
+      if (start >= u) break;
+      const long stop = start + kBlock < u ? start + kBlock : u;
+      for (long i = start; i < stop; ++i) {
+        int64_t k = keys[i];
+        const int q4 = static_cast<int>(k % kAngleRadix);
+        k /= kAngleRadix;
+        const int q3 = static_cast<int>(k % kAngleRadix);
+        k /= kAngleRadix;
+        const int q2 = static_cast<int>(k % kAngleRadix);
+        const int q1 = static_cast<int>(k / kAngleRadix);
+        int32_t* row = out + i * 128;
+        for (int d = 0; d < 128; ++d) {
+          const int n1 = q1 + deltas[4 * d];
+          const int n2 = q2 + deltas[4 * d + 1];
+          const int n3 = q3 + deltas[4 * d + 2];
+          const int n4 = q4 + deltas[4 * d + 3];
+          if (n1 * tr <= 5 || n2 < 0 || n3 < 0 || n4 < 0 ||
+              n2 >= kAngleRadix || n3 >= kAngleRadix || n4 >= kAngleRadix) {
+            row[d] = -1;
+            continue;
+          }
+          const int64_t key =
+              ((static_cast<int64_t>(n1) * kAngleRadix + n2) * kAngleRadix +
+               n3) * kAngleRadix + n4;
+          row[d] = key > INT32_MAX ? -1 : static_cast<int32_t>(key);
+        }
+      }
+    }
+  };
+
+  for (int t = 0; t < nthreads; ++t) workers.emplace_back(work);
+  for (auto& w : workers) w.join();
+}
+
 // Parse up to max_out whitespace-separated floats from buf; returns the
 // number parsed.
 long mm_parse_floats(const char* buf, long len, float* out, long max_out) {

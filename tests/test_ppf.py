@@ -178,3 +178,39 @@ def test_probe_slots_misses():
         ppf_table.probe_slots(table_keys, jnp.asarray([3, -1, 7]), 4)
     )
     np.testing.assert_array_equal(out, [-1, -1, -1])
+
+
+def test_fanout_keys_equivalence(rng):
+    """fanout_keys (quotient-space numpy + native C++) must reproduce the
+    original bins-space derivation pack_query_np(unpack + deltas*scale)
+    exactly — it feeds the existence table that gates every sampling
+    round."""
+    from model_matching_tpu import native
+    from model_matching_tpu.ops.ppf import fanout_deltas
+    from model_matching_tpu.ppf_table import (
+        fanout_keys, pack_exact_np, pack_query_np, unpack_key_np,
+    )
+
+    tr, rot = 5, 5
+    bins = np.stack([
+        rng.integers(0, 300, 400),
+        rng.integers(0, 181, 400),
+        rng.integers(0, 181, 400),
+        rng.integers(0, 181, 400),
+    ], axis=-1).astype(np.int32)
+    keys = np.unique(pack_exact_np(bins, tr, rot))
+    keys = keys[keys >= 0]
+
+    # the original derivation, kept here as the oracle
+    uniq_bins = unpack_key_np(keys, tr, rot)
+    deltas = fanout_deltas(tr, rot)
+    scale = np.array([tr, rot, rot, rot], dtype=np.int32)
+    fanned = uniq_bins[:, None, :] + deltas[None, :, :] * scale
+    oracle = pack_query_np(fanned, tr, rot).reshape(-1)
+
+    got = fanout_keys(keys, tr, rot)
+    np.testing.assert_array_equal(got, oracle)
+
+    if native.available():
+        got_native = native.fanout_pack(keys, tr, rot, deltas)
+        np.testing.assert_array_equal(got_native, oracle)
