@@ -139,6 +139,15 @@ class MatchConfig:
     # host round-trips. In-jit callers (shard_map, multi-object) always
     # use the monolithic path.
     congruent_partition: bool = False
+    # Fuse the congruent gate matrix + subsample selection into a Pallas
+    # VMEM-tiled kernel (ops/pallas_congruent.py) instead of the XLA
+    # [P, Q] intermediates. Bit-identical to the XLA path on the fixture
+    # (the kernel mirrors its Q-blocking and stripe membership), measured
+    # ~8% faster on v5e. None (default) = auto: on for TPU backends, off
+    # for CPU (where the kernel would run in the slow Pallas interpreter);
+    # True forces it everywhere (tests use this to exercise interpret
+    # mode), False disables.
+    congruent_pallas: bool | None = None
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
     # Fixed flood-fill sweep count (instance path). Each sweep combines an

@@ -187,6 +187,79 @@ def extract_congruent_sets(
             while qb % sub:
                 sub //= 2
 
+            pallas_on = (
+                cfg.congruent_pallas
+                if cfg.congruent_pallas is not None
+                else jax.default_backend() != "cpu"
+            )
+            use_pallas = (
+                pallas_on
+                and cfg.congruent_distance_mode == "cell"
+                and cfg.congruent_cos_tolerance >= 0
+                and sub == 16
+                and cap % 256 == 0
+                and qb % 256 == 0
+            )
+            if use_pallas:
+                from .ops import pallas_congruent as pc
+
+                e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
+                cell2p = pack(
+                    jnp.floor(e2_unit * eg_size).astype(jnp.int32)
+                )
+                sq2 = jnp.sum(e2_world * e2_world, axis=-1)
+
+                def feat(e, n, sq, cell, ok, tag):
+                    # validity folds into the 16-bit cell halves: invalid
+                    # rows get tag (-1 P side, -2 Q side) which no valid
+                    # half (in [0, 65535]) can equal — exactly the
+                    # p_ok & q_ok & cell-equality gate of the XLA path
+                    lo = jnp.where(ok, cell & 0xFFFF, tag)
+                    hi = jnp.where(ok, (cell >> 16) & 0xFFFF, tag)
+                    return jnp.concatenate([
+                        e.T, n.T, sq[None],
+                        lo.astype(jnp.float32)[None],
+                        hi.astype(jnp.float32)[None],
+                        jnp.zeros((7, cap), jnp.float32),
+                    ], axis=0)
+
+                pf = feat(e1_world, n1, sq1, cell1p, p_ok, -1)
+                qf = feat(e2_world, n2, sq2, cell2p, q_ok, -2)
+                rq_all = _mix32_jnp(
+                    jnp.arange(cap, dtype=jnp.uint32) ^ salt
+                    ^ jnp.uint32(0x9E3779B9)
+                )
+                bits = jax.lax.bitcast_convert_type
+                rb, row_counts = pc.dense_gate(
+                    pf, qf,
+                    bits(rp[:, 0], jnp.int32), bits(rq_all, jnp.int32),
+                    alpha, cfg.congruent_cos_tolerance,
+                    jnp.float32(dist_thresh),
+                    jnp.int32(rand_mask), jnp.int32(marker),
+                    q_tile=qb, p_tile=min(cap, 256),
+                    interpret=jax.default_backend() == "cpu",
+                )
+                row_best = jnp.where(
+                    bvalid, rb.astype(jnp.uint32), jnp.uint32(0)
+                )
+                total = jnp.where(
+                    bvalid, jnp.sum(row_counts), jnp.int32(0)
+                )
+                top, slot = jax.lax.top_k(
+                    row_best.reshape(-1).astype(jnp.int32), k_cap
+                )
+                quad_valid = top > 0
+                pi = slot // sub
+                qi = top & ((1 << col_bits) - 1)
+                quads = jnp.stack(
+                    [
+                        p_pairs[pi, 0], p_pairs[pi, 1],
+                        q_pairs[qi, 0], q_pairs[qi, 1],
+                    ],
+                    axis=-1,
+                ).astype(jnp.int32)
+                return quads, quad_valid, total
+
             def one_block(blk):
                 bi, qp, qok = blk
                 e2_unit, e2_world, n2 = seg_points(qp, inv2)
