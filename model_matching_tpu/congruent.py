@@ -36,6 +36,10 @@ from .ops.ppf import ppf_bins
 from .ppf_table import PPFTable, gather_pairs, lookup_pair_range
 
 
+# smallest pair cap routed to the Pallas gate kernel (see match_block)
+_PALLAS_MIN_CAP = 4096
+
+
 class CongruentSets(NamedTuple):
     quads: jax.Array        # [B, K, 4] int32 model indices (p1, p2, q1, q2)
     quad_valid: jax.Array   # [B, K] bool
@@ -197,6 +201,11 @@ def extract_congruent_sets(
                 and cfg.congruent_distance_mode == "cell"
                 and cfg.congruent_cos_tolerance >= 0
                 and sub == 16
+                # dense tiers only: at small caps the per-call kernel
+                # overhead loses to XLA's fused path (synthetic e2e bench
+                # measured -11% with the kernel at cap<=512); tests patch
+                # the threshold to exercise the kernel on small shapes
+                and cap >= _PALLAS_MIN_CAP
                 and cap % 256 == 0
                 and qb % 256 == 0
             )

@@ -41,7 +41,10 @@ def _setup(rng, cap):
     return args, cfg
 
 
-def test_kernel_matches_xla_path(rng):
+def test_kernel_matches_xla_path(rng, monkeypatch):
+    # production routes only dense tiers (cap >= 4096) to the kernel;
+    # lower the threshold so small interpret-mode shapes exercise it
+    monkeypatch.setattr(congruent, "_PALLAS_MIN_CAP", 256)
     for cap in (256, 1024):
         args, cfg = _setup(rng, cap)
         key = jax.random.PRNGKey(4)
