@@ -194,7 +194,7 @@ def extract_congruent_sets(
             pallas_on = (
                 cfg.congruent_pallas
                 if cfg.congruent_pallas is not None
-                else jax.default_backend() != "cpu"
+                else jax.default_backend() == "tpu"
             )
             use_pallas = (
                 pallas_on
@@ -254,20 +254,7 @@ def extract_congruent_sets(
                 total = jnp.where(
                     bvalid, jnp.sum(row_counts), jnp.int32(0)
                 )
-                top, slot = jax.lax.top_k(
-                    row_best.reshape(-1).astype(jnp.int32), k_cap
-                )
-                quad_valid = top > 0
-                pi = slot // sub
-                qi = top & ((1 << col_bits) - 1)
-                quads = jnp.stack(
-                    [
-                        p_pairs[pi, 0], p_pairs[pi, 1],
-                        q_pairs[qi, 0], q_pairs[qi, 1],
-                    ],
-                    axis=-1,
-                ).astype(jnp.int32)
-                return quads, quad_valid, total
+                # fall through to the shared top_k/decode tail below
 
             def one_block(blk):
                 bi, qp, qok = blk
@@ -305,7 +292,9 @@ def extract_congruent_sets(
                     jnp.sum(match.astype(jnp.int32)),
                 )
 
-            if nb == 1:
+            if use_pallas:
+                pass  # row_best/total computed by the kernel above
+            elif nb == 1:
                 row_best, total = one_block((jnp.uint32(0), q_pairs, q_ok))
             else:
                 block_best, btotals = jax.lax.map(

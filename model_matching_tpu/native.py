@@ -28,6 +28,9 @@ def _load() -> Optional[ctypes.CDLL]:
         if _tried:
             return _lib
         _tried = True
+        if os.environ.get("MM_NO_NATIVE") == "1":
+            # documented pure-numpy mode: never build OR load
+            return None
         src = os.path.join(_NATIVE_DIR, "mm_native.cpp")
         stale = os.path.exists(_SO_PATH) and os.path.exists(src) and (
             os.path.getmtime(src) > os.path.getmtime(_SO_PATH)
@@ -46,6 +49,15 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
+            return None
+        # a stale .so from an older commit may lack newer symbols (e.g.
+        # MM_NO_NATIVE=1 skipped the rebuild): fall back to numpy rather
+        # than crash on the attribute lookup
+        try:
+            for sym in ("mm_ppf_pair_keys", "mm_parse_floats",
+                        "mm_fanout_pack"):
+                getattr(lib, sym)
+        except AttributeError:
             return None
         lib.mm_ppf_pair_keys.restype = ctypes.c_float
         lib.mm_ppf_pair_keys.argtypes = [
@@ -105,12 +117,12 @@ def parse_floats(data: bytes, max_count: int) -> Optional[np.ndarray]:
     return out[:n]
 
 
-def fanout_pack(keys: np.ndarray, tr: int, rot: int,
+def fanout_pack(keys: np.ndarray, tr: int, min_bin: int,
                 deltas: np.ndarray) -> Optional[np.ndarray]:
     """[U*128] packed fan-out keys (-1 rejected) for the existence-set
     build; threaded C++ when available (the 81 s numpy hot spot of
-    obj_06 preprocessing, see ppf_table.fanout_keys_np for the
-    semantics)."""
+    obj_06 preprocessing; semantics in ppf_table.fanout_keys, which also
+    holds the numpy fallback)."""
     lib = _load()
     if lib is None:
         return None
@@ -119,7 +131,7 @@ def fanout_pack(keys: np.ndarray, tr: int, rot: int,
     out = np.empty(keys.shape[0] * 128, np.int32)
     lib.mm_fanout_pack(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        keys.shape[0], tr, rot,
+        keys.shape[0], tr, min_bin,
         deltas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

@@ -110,7 +110,9 @@ def fanout_keys(uniq_keys: np.ndarray, tr_disc: int, rot_disc: int
     from . import native
 
     deltas = fanout_deltas(tr_disc, rot_disc)
-    out = native.fanout_pack(uniq_keys, tr_disc, rot_disc, deltas)
+    out = native.fanout_pack(
+        uniq_keys, tr_disc, MIN_DISTANCE_BIN_MM, deltas
+    )
     if out is not None:
         return out
     k = uniq_keys.astype(np.int64)

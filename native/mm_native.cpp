@@ -105,10 +105,11 @@ float mm_ppf_pair_keys(const float* pos, const float* nrm, int m, int tr,
 
 // Expand each packed exact-bin key by the 128-way insertion fan-out
 // (p1 in {f-tr, f}, angles in {f-2r, f-r, f, f+r}; rgbd.cpp:130-133) with
-// the insert-side rejection (distance bin <= 5 mm or negative angles,
-// rgbd.cpp:135-136). deltas: [128, 4] int32 quotient-space offsets.
-// out: u * 128 int32 keys, -1 where rejected. Threaded over keys.
-void mm_fanout_pack(const int32_t* keys, long u, int tr, int rot,
+// the insert-side rejection (distance bin <= min_bin mm or negative
+// angles, rgbd.cpp:135-136; min_bin = ops/ppf.py MIN_DISTANCE_BIN_MM).
+// deltas: [128, 4] int32 quotient-space offsets. out: u * 128 int32 keys,
+// -1 where rejected. Threaded over keys.
+void mm_fanout_pack(const int32_t* keys, long u, int tr, int min_bin,
                     const int32_t* deltas, int32_t* out) {
   const unsigned hw = std::thread::hardware_concurrency();
   const int nthreads = static_cast<int>(hw ? (hw < 64 ? hw : 64) : 4);
@@ -135,7 +136,7 @@ void mm_fanout_pack(const int32_t* keys, long u, int tr, int rot,
           const int n2 = q2 + deltas[4 * d + 1];
           const int n3 = q3 + deltas[4 * d + 2];
           const int n4 = q4 + deltas[4 * d + 3];
-          if (n1 * tr <= 5 || n2 < 0 || n3 < 0 || n4 < 0 ||
+          if (n1 * tr <= min_bin || n2 < 0 || n3 < 0 || n4 < 0 ||
               n2 >= kAngleRadix || n3 >= kAngleRadix || n4 >= kAngleRadix) {
             row[d] = -1;
             continue;

@@ -66,3 +66,70 @@ def test_kernel_matches_xla_path(rng, monkeypatch):
             err_msg=f"cap={cap}",
         )
         assert np.asarray(ref.quad_valid).any()
+
+
+def test_dense_gate_accumulates_across_q_tiles(rng):
+    """The cross-Q-tile accumulation (max/count merge on tile revisits)
+    never runs in the single-tile parity cases above; drive dense_gate
+    directly with q_tile < Q against a numpy oracle of the stripe
+    semantics."""
+    from model_matching_tpu.ops.pallas_congruent import SUB, dense_gate
+
+    p, q, q_tile = 256, 512, 256
+    pf = rng.normal(0, 0.05, (16, p)).astype(np.float32)
+    qf = rng.normal(0, 0.05, (16, q)).astype(np.float32)
+    # shared cell vocabulary so the cell gate passes often
+    for f, n in ((pf, p), (qf, q)):
+        cells = rng.integers(0, 6, n)
+        f[6] = (f[0:3] ** 2).sum(axis=0)
+        f[7] = cells
+        f[8] = 0.0
+    rp = rng.integers(-2**31, 2**31 - 1, p, dtype=np.int64).astype(np.int32)
+    rq = rng.integers(-2**31, 2**31 - 1, q, dtype=np.int64).astype(np.int32)
+    alpha, tol, thr = 0.1, 0.5, 0.01
+    col_bits = 14
+    marker = 1 << col_bits
+    mask = 0x7FFFFFFF & ~((1 << (col_bits + 1)) - 1)
+
+    rb, counts = dense_gate(
+        jnp.asarray(pf), jnp.asarray(qf), jnp.asarray(rp), jnp.asarray(rq),
+        alpha, tol, thr, mask, marker,
+        q_tile=q_tile, p_tile=p, interpret=True,
+    )
+
+    # numpy oracle with identical float32 expressions
+    d2 = (pf[6][:, None] + qf[6][None, :]
+          - 2.0 * (pf[0:3].T @ qf[0:3]).astype(np.float32))
+    cos = (pf[3:6].T @ qf[3:6]).astype(np.float32)
+    match = ((pf[7][:, None] == qf[7][None, :])
+             & (pf[8][:, None] == qf[8][None, :])
+             & (d2 <= thr) & (np.abs(cos - alpha) <= tol))
+    assert match.any() and match.sum() < match.size
+    cols = np.arange(q, dtype=np.int64)[None, :]
+    v = ((rp[:, None].astype(np.int64) ^ rq[None, :].astype(np.int64))
+         & 0xFFFFFFFF) & mask | marker | cols
+    v = np.where(match, v, 0)
+    tiles = v.reshape(p, q // q_tile, SUB, q_tile // SUB)
+    expect = tiles.max(axis=3).max(axis=1)  # per-tile stripes, then merge
+    np.testing.assert_array_equal(np.asarray(rb), expect)
+    np.testing.assert_array_equal(np.asarray(counts), match.sum(axis=1))
+
+
+def test_fanout_numpy_fallback_matches_native(rng, monkeypatch):
+    """fanout_keys' pure-numpy branch is dead code wherever the native
+    library builds; force it and pin it against the native result."""
+    from model_matching_tpu import native
+    from model_matching_tpu.ppf_table import fanout_keys, pack_exact_np
+
+    bins = np.stack([
+        rng.integers(0, 300, 300),
+        rng.integers(0, 181, 300),
+        rng.integers(0, 181, 300),
+        rng.integers(0, 181, 300),
+    ], axis=-1).astype(np.int32)
+    keys = np.unique(pack_exact_np(bins, 5, 5))
+    keys = keys[keys >= 0]
+    with_native = fanout_keys(keys, 5, 5)
+    monkeypatch.setattr(native, "fanout_pack", lambda *a, **k: None)
+    pure_numpy = fanout_keys(keys, 5, 5)
+    np.testing.assert_array_equal(with_native, pure_numpy)
