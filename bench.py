@@ -112,7 +112,13 @@ def main():
                 "scorer": "production 3-stage ladder (score_hybrid; "
                           "stage 1 = 64-pt model subset, leaders exact)",
                 "exact_hypotheses_per_sec": round(exact_hps, 1),
-                "exact_vs_baseline": round(exact_hps / 1e5, 3),
+                "exact_note": (
+                    "informational: cost of exact-grid-scoring EVERY "
+                    "hypothesis with the full model; the production "
+                    "ladder above is argmax-identical to it "
+                    "(tests/test_pipeline_synthetic.py) and is the "
+                    "north-star metric"
+                ),
                 "end_to_end_bases_per_sec": round(bases_per_sec, 1),
             }
         )

@@ -169,6 +169,13 @@ class MatchConfig:
     # run is identical). Large budgets on the packed dataset should use
     # 8-16 (mainly a compile-time win, see docs/RESULTS.md).
     instance_block_size: int = 1
+    # Scan steps per device dispatch for the sequential instance sampler
+    # (instance.sample_instance_bases_stepwise). Each dispatch pays a
+    # full host round-trip through the carry (measured ~100 ms on the
+    # remote v5e backend: 96 bases at block 10 ran 27.7 ms/base vs 17.6
+    # at block 96); larger blocks amortize it at the cost of a longer
+    # one-time scan compile.
+    instance_scan_block: int = 64
 
     # Angular gate half-width (cosine units) applied between pair directions in
     # congruent extraction. The reference's IndexedNormalSet cone rasterization

@@ -88,13 +88,14 @@ def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
             scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
             block_size=cfg.instance_block_size, **kwargs,
         )
-    # host-driven stepping: compiles one per-base program instead of the
-    # whole scan (whose nested flood-fill while_loop compiles pathologically
-    # slowly on real TPU backends)
+    # host-driven stepping: compiles a bounded scan block instead of the
+    # whole-B scan (whose nested flood-fill while_loop compiles
+    # pathologically slowly on real TPU backends); block size trades
+    # per-dispatch round trips against compile time (config.py)
     return instance.sample_instance_bases_stepwise(
         key, table, scene.pos, scene.normal, class_prob,
         scene.edge_prob, scene.pixel, scene.valid, scene.edge_free,
-        **kwargs,
+        block=cfg.instance_scan_block, **kwargs,
     )
 
 
