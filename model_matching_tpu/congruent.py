@@ -40,6 +40,24 @@ from .ppf_table import PPFTable, gather_pairs, lookup_pair_range
 _PALLAS_MIN_CAP = 4096
 
 
+def tier_plan(p_cap: int):
+    """Dispatch tier construction shared by the monolithic cond ladder and
+    the host-partitioned executor, so both run the exact same (cap,
+    q_block) ladder for any max_pairs_per_bin. Returns (tiers, top) where
+    `tiers` is the ascending [(cap, q_block)] list below the top tier and
+    `top` is (p_cap, q_block).
+
+    256/1024/4096 run the full [cap, cap] gate matrix; 8192 and any
+    p_cap >= 8192 block the Q axis in 4096-wide chunks to bound the gate
+    intermediate at [cap, 4096]. The 8192 tier exists because the fixture
+    p99 is 7887 pairs — most "dense" bases run at half the top-tier
+    matrix (docs/RESULTS.md)."""
+    tiers = [(c, None) for c in (256, 1024, 4096) if c < p_cap]
+    if p_cap > 8192:
+        tiers.append((8192, 4096))
+    return tiers, (p_cap, 4096 if p_cap >= 8192 else None)
+
+
 class CongruentSets(NamedTuple):
     quads: jax.Array        # [B, K, 4] int32 model indices (p1, p2, q1, q2)
     quad_valid: jax.Array   # [B, K] bool
@@ -246,7 +264,10 @@ def extract_congruent_sets(
                     jnp.float32(dist_thresh),
                     jnp.int32(rand_mask), jnp.int32(marker),
                     q_tile=qb, p_tile=min(cap, 256),
-                    interpret=jax.default_backend() == "cpu",
+                    # the kernel targets TPU Mosaic (pltpu memory spaces);
+                    # every other backend — CPU, GPU, anything else — must
+                    # run it in the interpreter or lowering fails
+                    interpret=jax.default_backend() != "tpu",
                 )
                 row_best = jnp.where(
                     bvalid, rb.astype(jnp.uint32), jnp.uint32(0)
@@ -329,16 +350,9 @@ def extract_congruent_sets(
         # Fixture pair-count distribution (YCB bowl, docs/RESULTS.md):
         # p50=30, p90=535, p99=7887 — the 256 tier carries most bases at
         # ~half the 1024-tier cost (154 vs 323 us/base measured).
-        top_qb = 4096 if p_cap >= 8192 else None
-        # 8192 carries most "dense" bases at half the top-tier matrix
-        # (fixture p99 = 7887 pairs; only ~1% of bases exceed 8192);
-        # its Q axis is blocked like the top tier's to bound the gate
-        # intermediate at [cap, 4096]
-        tiers = (
-            [(c, None) for c in (256, 1024, 4096) if c < p_cap]
-            + ([(8192, 4096)] if p_cap > 8192 else [])
-            if tier_dispatch else []
-        )
+        tiers, (_top_cap, top_qb) = tier_plan(p_cap)
+        if not tier_dispatch:
+            tiers = []
         if not tiers:
             quads, quad_valid, total = match_block(p_cap, top_qb)
         else:
@@ -386,11 +400,11 @@ def extract_congruent_sets(
 # host-partitioned tier execution (the eager fast path)
 # ---------------------------------------------------------------------------
 
-# per-tier (cap, q_block, vmap group): groups amortize the per-base fixed
-# cost (pair gathers, probes, top_k) that dominates small-cap tiers —
-# measured on v5e: cap-256 group 16 is 3.7x faster per base than group 1
-_TIERS = ((256, None, 16), (1024, None, 16), (4096, None, 4),
-          (8192, 4096, 1), (16384, 4096, 1))
+# vmap group per tier cap: groups amortize the per-base fixed cost (pair
+# gathers, probes, top_k) that dominates small-cap tiers — measured on
+# v5e: cap-256 group 16 is 3.7x faster per base than group 1. Groups only
+# batch dispatch; they never change outputs.
+_TIER_GROUPS = {256: 16, 1024: 16, 4096: 4}
 
 
 @partial(jax.jit, static_argnames=("tr", "rot"))
@@ -449,9 +463,12 @@ def extract_congruent_sets_partitioned(
     mx = counts_np.max(axis=1)
     p_cap = cfg.max_pairs_per_bin
 
-    tiers = [t for t in _TIERS if t[0] < p_cap]
-    tiers.append((p_cap, 4096 if p_cap > 8192 else None,
-                  1 if p_cap > 4096 else 4))
+    # the SAME tier construction the monolithic cond ladder uses — a tier
+    # existing in only one path would change col_bits/marker/stripe widths
+    # for bases landing in it and break the output-identical guarantee
+    pre, (top_cap, top_qb) = tier_plan(p_cap)
+    tiers = [(c, qb, _TIER_GROUPS.get(c, 1)) for c, qb in pre]
+    tiers.append((top_cap, top_qb, 1 if p_cap > 4096 else 4))
     caps = np.array([t[0] for t in tiers])
     # tier index per base: first cap >= max(p, q); counts beyond the top
     # cap stay in the top tier (truncated there, like the monolithic path)

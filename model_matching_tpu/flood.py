@@ -125,9 +125,15 @@ def flood_fill(
         new = sweep(mask)
         return i + 1, new, jnp.any(new != mask)
 
-    i, mask, _ = jax.lax.while_loop(cond, body, (0, seed, jnp.array(True)))
+    i, mask, changed = jax.lax.while_loop(
+        cond, body, (0, seed, jnp.array(True))
+    )
     if return_converged:
-        return mask, i < max_iters
+        # converged iff the final sweep made no change — a fill that reaches
+        # its fixpoint exactly on the max_iters-th sweep exits with
+        # i == max_iters but changed == False and IS converged; testing
+        # i < max_iters alone would misreport it
+        return mask, ~changed | (i < max_iters)
     return mask
 
 

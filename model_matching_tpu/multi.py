@@ -143,4 +143,22 @@ def match_all_objects(
     keys = jnp.stack(
         [jax.random.fold_in(key, o) for o in range(len(models))]
     )
-    return _match_all(stacked, scene, jnp.asarray(probs), keys, cfg)
+    best, poses, nhyp = _match_all(
+        stacked, scene, jnp.asarray(probs), keys, cfg
+    )
+    # same silent-truncation guard as StocsEstimator.run / run_sweep:
+    # score_hybrid compacts valid hypotheses to the front and drops
+    # overflow beyond score_compact_cap without scoring it
+    cap = cfg.score_compact_cap
+    slots = cfg.number_of_bases * cfg.maximum_congruent_sets
+    nh = np.asarray(nhyp)
+    if cap and slots > cap and int(nh.max()) > cap:
+        from .utils.log import warn
+
+        warn(
+            f"an object produced {int(nh.max())} valid hypotheses, over "
+            f"score_compact_cap={cap}; overflow was not scored — raise "
+            f"the cap for full recall",
+            n_valid=int(nh.max()), cap=cap,
+        )
+    return best, poses, nhyp

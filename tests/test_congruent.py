@@ -268,3 +268,28 @@ def test_partitioned_matches_monolithic(rng):
     np.testing.assert_array_equal(
         np.asarray(part.quads)[mv], np.asarray(part2.quads)[mv]
     )
+
+
+def test_tier_plan_shared_construction():
+    """The partitioned executor must run the exact ladder the monolithic
+    path compiles for ANY permitted max_pairs_per_bin (ADVICE r2: a
+    16384-only tier in the partitioned path broke output-identity for
+    p_cap > 16384). tier_plan is now the single source of truth; pin its
+    shape at the boundary caps."""
+    assert congruent.tier_plan(1024) == ([(256, None)], (1024, None))
+    assert congruent.tier_plan(4096) == (
+        [(256, None), (1024, None)], (4096, None)
+    )
+    # p_cap == 8192: top tier Q-blocks (monolithic top_qb uses >= 8192)
+    assert congruent.tier_plan(8192) == (
+        [(256, None), (1024, None), (4096, None)], (8192, 4096)
+    )
+    assert congruent.tier_plan(16384) == (
+        [(256, None), (1024, None), (4096, None), (8192, 4096)],
+        (16384, 4096),
+    )
+    # the ADVICE case: p_cap beyond 16384 gains no phantom 16384 tier
+    assert congruent.tier_plan(20480) == (
+        [(256, None), (1024, None), (4096, None), (8192, 4096)],
+        (20480, 4096),
+    )
