@@ -32,7 +32,10 @@ def _linear_key(ijk):
     return (ijk[..., 0] * _GRID_AXIS + ijk[..., 1]) * _GRID_AXIS + ijk[..., 2]
 
 
-_INVALID_KEY = jnp.int32(2**31 - 1)
+# plain Python int, NOT jnp.int32(...): a module-level device constant
+# would initialize the XLA backend at import time, which breaks multi-host
+# bootstrap (jax.distributed.initialize must run before any backend touch)
+_INVALID_KEY = 2**31 - 1
 
 
 def voxel_downsample_centroid(
