@@ -14,6 +14,32 @@ import pytest
 REF = "/root/reference"
 
 
+def projected_support_overlap(world_t, model, prob_path, cfg,
+                              prob_threshold=0.1):
+    """Project the posed model into the image and measure (fraction of
+    points landing inside the frame, fraction of those landing on
+    probability support > prob_threshold). The pose-sanity criterion for
+    every fixture e2e test: robust to RNG/backend drift, unlike bitwise
+    golden files (the reference is wall-clock seeded,
+    stocs.cpp:135)."""
+    from model_matching_tpu.io import image
+
+    mpos = np.asarray(model.pos)[np.asarray(model.valid)] + np.asarray(
+        model.centroid
+    )
+    moved = mpos @ world_t[:3, :3].T + world_t[:3, 3]
+    fx, cx, fy, cy = cfg.camera.as_tuple()
+    col = (moved[:, 0] * fx / moved[:, 2] + cx).astype(int)
+    row = (moved[:, 1] * fy / moved[:, 2] + cy).astype(int)
+    prob = image.read_u16(prob_path).astype(np.float32) / 10000.0
+    h, w = prob.shape
+    ok = (row >= 0) & (row < h) & (col >= 0) & (col < w)
+    if not ok.any():
+        return 0.0, 0.0
+    inside = prob[row[ok], col[ok]]
+    return float(ok.mean()), float((inside > prob_threshold).mean())
+
+
 @pytest.fixture(scope="module")
 def bowl_artifacts(tmp_path_factory):
     if not os.path.isdir(REF):
@@ -137,4 +163,165 @@ def test_ycb_bowl_depth_normal_mode_end_to_end(bowl_artifacts):
     assert (inside > 0.1).mean() > 0.7, (
         f"depth-normal pose projects outside the object region "
         f"(overlap {(inside > 0.1).mean():.2f}, lcp {result.best_lcp:.3f})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# packed/dove — the ONLY fixture with an edge map, so the only one driving
+# the instance path: edge pruning, flood-fill segments, dispersion decay
+# (dispatch at src/stocs_match_one_object.cpp:89-93, path at
+# src/stocs.cpp:559-751)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dove_artifacts(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference fixtures not present")
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.preprocess import preprocess_model
+
+    out = tmp_path_factory.mktemp("dove")
+    pre = get_preset("packed").preprocess
+    n, maxd = preprocess_model(
+        f"{REF}/models/dove/textured_vertices.ply",
+        str(out / "model_search.ply"),
+        str(out / "ppf_table.npz"),
+        pre, verbose=False,
+    )
+    assert 200 < n < 4096
+    assert 0.05 < maxd < 0.3  # a soap box, ~10 cm diagonal
+    return out
+
+
+def test_packed_dove_instance_path_end_to_end(dove_artifacts):
+    """packed/dove through the REAL instance path: the scene carries the
+    edge map, so StocsEstimator.run dispatches to the flood-fill sampler
+    and decays the class probability between bases. Asserts (a) the
+    instance machinery actually ran (segments cached, decay applied) and
+    (b) the winning pose lands on a dove box's probability support."""
+    import dataclasses
+
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.estimator import StocsEstimator
+    from model_matching_tpu.model import load_model_pack
+    from model_matching_tpu.scene import load_scene
+
+    cfg = dataclasses.replace(
+        get_preset("packed").match,
+        number_of_bases=24,
+        maximum_congruent_sets=128,
+    )
+    model = load_model_pack(
+        str(dove_artifacts / "model_search.ply"),
+        str(dove_artifacts / "ppf_table.npz"),
+        cfg.max_model_points,
+    )
+    prob_path = f"{REF}/examples/packed/probability_maps/dove.png"
+    scene = load_scene(
+        f"{REF}/examples/packed/rgb.png",
+        f"{REF}/examples/packed/depth.png",
+        prob_path,
+        f"{REF}/examples/packed/probability_maps/edge.png",
+        cfg,
+    )
+    assert scene.has_edge  # the instance-path dispatch condition
+
+    est = StocsEstimator(model, scene, cfg)
+    result = est.run(verbose=False)
+
+    # the instance machinery ran: per-base segments were cached ...
+    assert est.seg_masks is not None
+    masks = np.asarray(est.seg_masks)
+    n_filled = sum(bool(masks[i].any()) for i in range(1, masks.shape[0]))
+    assert n_filled >= 4, f"only {n_filled} flood-fill segments produced"
+    # ... and the dispersion decay mutated the sampling prior in place
+    # (stocs.cpp:571-580; scoring reads the decayed values)
+    cp0 = np.asarray(scene.class_prob)
+    cp1 = np.asarray(est.class_prob)
+    assert (cp1 <= cp0 + 1e-6).all() and (cp1 < cp0 - 1e-6).any()
+
+    assert result.num_bases >= 6
+    assert result.best_index >= 0
+    assert result.best_lcp > 0.02
+    in_frame, on_support = projected_support_overlap(
+        result.best_world_transform, model, prob_path, cfg
+    )
+    assert in_frame > 0.9
+    assert on_support > 0.6, (
+        f"pose projects outside the dove boxes "
+        f"(overlap {on_support:.2f}, lcp {result.best_lcp:.3f})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# linemod/obj_06 — the mm-scale parameterization (model file in mm,
+# model_scale 1/1000, depth 1/1000; reference README.md:60-69)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def obj06_artifacts(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference fixtures not present")
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.preprocess import preprocess_model
+
+    out = tmp_path_factory.mktemp("obj06")
+    pre = get_preset("linemod").preprocess
+    n, maxd = preprocess_model(
+        f"{REF}/models/obj_06/textured_vertices.ply",
+        str(out / "model_search.ply"),
+        str(out / "ppf_table.npz"),
+        pre, verbose=False,
+    )
+    assert 200 < n < 4096
+    # the mm-file model lands at meter scale after model_scale=1/1000
+    assert 0.05 < maxd < 0.3
+    return out
+
+
+def test_linemod_obj06_end_to_end(obj06_artifacts):
+    """linemod/obj_06 end to end: pins the mm-scale preset (voxel 10 mm,
+    normal radius 5 mm, model_scale 1/1000, depth_scale 1/1000) through
+    preprocess -> load -> match, asserting the pose lands on the object's
+    probability support."""
+    import dataclasses
+
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.estimator import StocsEstimator
+    from model_matching_tpu.model import load_model_pack
+    from model_matching_tpu.scene import load_scene
+
+    cfg = dataclasses.replace(
+        get_preset("linemod").match,
+        number_of_bases=32,
+        maximum_congruent_sets=128,
+    )
+    model = load_model_pack(
+        str(obj06_artifacts / "model_search.ply"),
+        str(obj06_artifacts / "ppf_table.npz"),
+        cfg.max_model_points,
+    )
+    prob_path = f"{REF}/examples/linemod/probability_maps/obj_06.png"
+    scene = load_scene(
+        f"{REF}/examples/linemod/rgb.png",
+        f"{REF}/examples/linemod/depth.png",
+        prob_path,
+        None, cfg,
+    )
+    assert not scene.has_edge  # class path, like the reference dispatch
+    assert 1000 < int(scene.count()) < cfg.max_scene_points
+
+    result = StocsEstimator(model, scene, cfg).run(verbose=False)
+    assert result.num_bases >= 8
+    assert result.best_index >= 0
+    assert result.best_lcp > 0.02
+    in_frame, on_support = projected_support_overlap(
+        result.best_world_transform, model, prob_path, cfg
+    )
+    assert in_frame > 0.9
+    assert on_support > 0.6, (
+        f"pose projects outside the object region "
+        f"(overlap {on_support:.2f}, lcp {result.best_lcp:.3f})"
     )
