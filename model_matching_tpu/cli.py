@@ -486,6 +486,87 @@ def cmd_serve(argv):
     return 0
 
 
+def cmd_eval(argv):
+    """Pose-accuracy evaluation: ADD / ADD-S / pass-rate of estimated pose
+    file(s) against ground-truth pose file(s) over a model PLY — the
+    runnable form of BASELINE.json's "ADD-S parity" acceptance criterion
+    (the reference bundles no GT, reference README.md:4; point this at any
+    dataset's GT the day it appears). Emits one JSON document."""
+    import json
+
+    from . import eval as ev
+    from .io import ply
+
+    p = argparse.ArgumentParser(prog="eval")
+    p.add_argument("est", help="estimated pose file (one pose per line, "
+                               "12 or 16 floats) or directory of "
+                               "best_pose_candidate_*.txt files")
+    p.add_argument("gt", help="ground-truth pose file, or directory with "
+                              "files named like the estimates")
+    p.add_argument("--model", required=True,
+                   help="model PLY the poses transform (model_search.ply "
+                        "or textured_vertices.ply)")
+    p.add_argument("--model-scale", type=float, default=1.0,
+                   help="scale applied to model vertices (1/1000 for "
+                        "mm-unit files, as in the linemod preset)")
+    p.add_argument("--threshold-fraction", type=float, default=0.1,
+                   help="pass if metric < fraction * model diameter")
+    p.add_argument("--out", default=None, help="also write the JSON here")
+    args = p.parse_args(argv)
+
+    if not os.path.exists(args.model):
+        print(f"error: model {args.model} not found")
+        return 1
+    mpos, _n, _c = ply.read_ply_cloud(args.model, scale=args.model_scale)
+
+    if os.path.isdir(args.est):
+        names = sorted(
+            f for f in os.listdir(args.est)
+            if f.startswith("best_pose_candidate_") and f.endswith(".txt")
+        )
+        if not names:
+            print(f"error: no best_pose_candidate_*.txt under {args.est}")
+            return 1
+        pairs = [(os.path.join(args.est, n), os.path.join(args.gt, n))
+                 for n in names]
+        missing = [g for _, g in pairs if not os.path.exists(g)]
+        if missing:
+            print("error: missing ground-truth files:\n  "
+                  + "\n  ".join(missing))
+            return 1
+    else:
+        pairs = [(args.est, args.gt)]
+
+    dia = ev.model_diameter(mpos)
+    per_file = {}
+    for est_path, gt_path in pairs:
+        per_file[os.path.basename(est_path)] = ev.evaluate_pose_files(
+            est_path, gt_path, mpos,
+            threshold_fraction=args.threshold_fraction, diameter=dia,
+        )
+    all_add = [v for r in per_file.values() for v in r["add"]]
+    all_adds = [v for r in per_file.values() for v in r["adds"]]
+    thr = args.threshold_fraction * dia
+    report = {
+        "model": args.model,
+        "model_diameter": dia,
+        "threshold": thr,
+        "num_poses": len(all_add),
+        "add_mean": float(np.mean(all_add)),
+        "adds_mean": float(np.mean(all_adds)),
+        "add_pass_rate": float(np.mean([v < thr for v in all_add])),
+        "adds_pass_rate": float(np.mean([v < thr for v in all_adds])),
+        "files": per_file,
+    }
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        _guard_writable(args.out)
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+    return 0
+
+
 def main(argv=None):
     from .parallel.sharding import init_distributed
     from .utils.cache import enable_compilation_cache
@@ -509,9 +590,11 @@ def main(argv=None):
         return cmd_stocs_multi(rest)
     if cmd == "serve":
         return cmd_serve(rest)
+    if cmd == "eval":
+        return cmd_eval(rest)
     print(
         f"unknown command {cmd!r}; use model-preprocess, stocs-single, "
-        "stocs-batch, stocs-multi or serve"
+        "stocs-batch, stocs-multi, serve or eval"
     )
     return 2
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def add_metric(pose_est, pose_gt, model_pos, model_valid=None):
@@ -58,3 +59,91 @@ def adds_accuracy(pose_est, pose_gt, model_pos, model_diameter,
     return adds_metric(pose_est, pose_gt, model_pos, model_valid) < (
         threshold_fraction * model_diameter
     )
+
+
+# ---------------------------------------------------------------------------
+# file-level evaluation (the CLI `eval` subcommand's engine)
+# ---------------------------------------------------------------------------
+
+
+def model_diameter(pos) -> float:
+    """Max pairwise distance over the model points. Exact for <= 4096
+    points; beyond that the candidate set is reduced to directional
+    extremes (the diameter is attained at convex-hull vertices, and hull
+    vertices are extreme along some direction — 512 quasi-uniform probe
+    directions make a miss negligible for real scan meshes)."""
+    p = np.asarray(pos, np.float64)
+    if p.shape[0] > 4096:
+        rng = np.random.default_rng(0)
+        dirs = rng.normal(size=(512, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        proj = p @ dirs.T  # [N, D]
+        cand = np.unique(
+            np.concatenate([proj.argmax(axis=0), proj.argmin(axis=0)])
+        )
+        p = p[cand]
+    d2 = ((p[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    return float(np.sqrt(d2.max()))
+
+
+def read_pose_file(path: str):
+    """Parse a pose artifact: one pose per line, 12 floats (row-major 3x4,
+    the best_pose_candidate format) or 16 (4x4); a trailing 13th/17th float
+    (the clustered_poses score column) is ignored. Returns [K, 4, 4]."""
+    poses = []
+    with open(path) as f:
+        for ln in f:
+            vals = [float(v) for v in ln.split()]
+            if not vals:
+                continue
+            if len(vals) in (13, 17):
+                vals = vals[:-1]
+            if len(vals) == 12:
+                m = np.eye(4)
+                m[:3, :] = np.asarray(vals).reshape(3, 4)
+            elif len(vals) == 16:
+                m = np.asarray(vals).reshape(4, 4)
+            else:
+                raise ValueError(
+                    f"{path}: expected 12 or 16 floats per line "
+                    f"(+optional score), got {len(vals)}"
+                )
+            poses.append(m)
+    if not poses:
+        raise ValueError(f"{path}: no poses found")
+    return np.stack(poses).astype(np.float32)
+
+
+def evaluate_pose_files(est_path: str, gt_path: str, model_pos,
+                        threshold_fraction: float = 0.1,
+                        diameter: float | None = None) -> dict:
+    """ADD / ADD-S / pass-rate for the pose(s) in `est_path` against
+    `gt_path` (same line-per-pose format; a single GT line broadcasts over
+    multiple estimates). Returns a JSON-ready dict — BASELINE.json's
+    "ADD-S parity" criterion is this function over a dataset's scenes."""
+    est = read_pose_file(est_path)
+    gt = read_pose_file(gt_path)
+    if gt.shape[0] == 1 and est.shape[0] > 1:
+        gt = np.broadcast_to(gt, est.shape)
+    if est.shape[0] != gt.shape[0]:
+        raise ValueError(
+            f"pose count mismatch: {est_path} has {est.shape[0]}, "
+            f"{gt_path} has {gt.shape[0]}"
+        )
+    mp = jnp.asarray(np.asarray(model_pos, np.float32))
+    dia = model_diameter(model_pos) if diameter is None else float(diameter)
+    add = np.asarray(add_metric(jnp.asarray(est), jnp.asarray(gt), mp))
+    adds = np.asarray(adds_metric(jnp.asarray(est), jnp.asarray(gt), mp))
+    thr = threshold_fraction * dia
+    return {
+        "num_poses": int(est.shape[0]),
+        "model_diameter": dia,
+        "threshold": float(thr),
+        "threshold_fraction": float(threshold_fraction),
+        "add": [float(v) for v in add],
+        "adds": [float(v) for v in adds],
+        "add_mean": float(add.mean()),
+        "adds_mean": float(adds.mean()),
+        "add_pass_rate": float((add < thr).mean()),
+        "adds_pass_rate": float((adds < thr).mean()),
+    }

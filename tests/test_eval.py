@@ -46,6 +46,88 @@ def test_adds_forgives_symmetry(rng):
                                  jnp.asarray(pts), model_diameter=0.1))
 
 
+def test_model_diameter_exact_and_reduced(rng):
+    # small set: exact pairwise; the diameter of a known segment
+    pts = np.array([[0, 0, 0], [0.1, 0, 0], [0.05, 0.02, 0]], np.float32)
+    np.testing.assert_allclose(ev.model_diameter(pts), 0.1, rtol=1e-6)
+    # large set: the directional-extreme reduction must find the same
+    # diameter as exact pairwise on a 5000-point ellipsoid cloud
+    n = 5000
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = np.arccos(rng.uniform(-1, 1, n))
+    pts = np.stack([
+        0.08 * np.sin(v) * np.cos(u),
+        0.05 * np.sin(v) * np.sin(u),
+        0.03 * np.cos(v),
+    ], axis=1).astype(np.float32)
+    d2 = ((pts[:, None] - pts[None, :]) ** 2).sum(-1)
+    exact = float(np.sqrt(d2.max()))
+    np.testing.assert_allclose(ev.model_diameter(pts), exact, rtol=1e-3)
+
+
+def test_pose_file_roundtrip(tmp_path):
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [0.1, -0.2, 0.3]
+    p = tmp_path / "pose.txt"
+    p.write_text(" ".join(
+        f"{m[i, j]:g}" for i in range(3) for j in range(4)) + "\n")
+    out = ev.read_pose_file(str(p))
+    assert out.shape == (1, 4, 4)
+    np.testing.assert_allclose(out[0], m)
+    # clustered format: 12 floats + score column, several lines
+    p2 = tmp_path / "clustered.txt"
+    row = " ".join(f"{m[i, j]:g}" for i in range(3) for j in range(4))
+    p2.write_text(f"{row} 0.5\n{row} 0.25\n")
+    out2 = ev.read_pose_file(str(p2))
+    assert out2.shape == (2, 4, 4)
+
+
+def test_eval_cli_roundtrip(tmp_path, rng):
+    """CLI `eval` end to end: write a model PLY + estimated/GT pose
+    artifacts, run the subcommand, check the emitted JSON (VERDICT r2
+    next-step 8: BASELINE's ADD-S parity criterion as one command)."""
+    import json
+
+    from model_matching_tpu.cli import main
+    from model_matching_tpu.io import ply
+    from scipy.spatial.transform import Rotation
+
+    pts = rng.normal(0, 0.05, (300, 3)).astype(np.float32)
+    model_path = tmp_path / "model_search.ply"
+    ply.write_ply(str(model_path), pts)
+
+    gt = np.eye(4, dtype=np.float32)
+    gt[:3, :3] = Rotation.random(rng=rng).as_matrix()
+    gt[:3, 3] = [0.05, -0.1, 0.8]
+    good = gt.copy()
+    good[:3, 3] += 0.001  # 1 mm off: passes at 10% of diameter
+    bad = gt.copy()
+    bad[:3, 3] += 1.0     # 1 m off: fails
+
+    est_dir = tmp_path / "est"
+    gt_dir = tmp_path / "gt"
+    est_dir.mkdir()
+    gt_dir.mkdir()
+    for name, est in (("best_pose_candidate_a.txt", good),
+                      ("best_pose_candidate_b.txt", bad)):
+        for d, mat in ((est_dir, est), (gt_dir, gt)):
+            (d / name).write_text(" ".join(
+                f"{mat[i, j]:g}" for i in range(3) for j in range(4)) + "\n")
+
+    out_json = tmp_path / "report.json"
+    rc = main(["eval", str(est_dir), str(gt_dir),
+               "--model", str(model_path), "--out", str(out_json)])
+    assert rc == 0
+    report = json.loads(out_json.read_text())
+    assert report["num_poses"] == 2
+    assert report["adds_pass_rate"] == 0.5
+    assert report["add_pass_rate"] == 0.5
+    a = report["files"]["best_pose_candidate_a.txt"]
+    assert a["adds_mean"] < 0.002 and a["adds_pass_rate"] == 1.0
+    b = report["files"]["best_pose_candidate_b.txt"]
+    assert b["add_mean"] > 0.5 and b["adds_pass_rate"] == 0.0
+
+
 def test_batched_poses(rng):
     pts = rng.normal(0, 0.05, (100, 3)).astype(np.float32)
     gt = np.eye(4, dtype=np.float32)
