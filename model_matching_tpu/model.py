@@ -86,8 +86,14 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
 
     # pad only to the next lane multiple — every scoring stage walks the
     # whole padded array, so slack here is a direct multiplier on the
-    # hottest loops (capacity is just an upper-bound check)
-    padded = min(capacity, max(128, -(-n // 128) * 128))
+    # hottest loops (capacity is just an upper-bound check). standardize
+    # buckets to a 512-floor power of two instead: model size then rarely
+    # differs across objects, so the jitted phases are reused verbatim
+    # (the padding slack is the price of zero recompiles in serve/batch)
+    if standardize:
+        padded = min(capacity, max(512, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    else:
+        padded = min(capacity, max(128, -(-n // 128) * 128))
 
     def pad(a, fill=0.0):
         out = np.full((padded, a.shape[1]), fill, dtype=np.float32)
