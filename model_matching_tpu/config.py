@@ -129,6 +129,18 @@ class MatchConfig:
     # for full recall). 0 disables compaction. Does not apply to exact
     # (no-coarse-to-fine) scoring.
     score_compact_cap: int = 131072
+    # Sweep pooling width: run_sweep / run_sweep_sharded keep the top-k
+    # scored poses of every chunk and cluster the pooled winners; the
+    # reference clusters every scored hypothesis
+    # (pose_clustering.cpp:79-121), so per-chunk top-k can in principle
+    # truncate the clusterable pool. Measured on the YCB fixture sweep
+    # (16,384 bases, 8 chunks, docs/RESULTS.md): 256/chunk and full-pool
+    # clustering return the SAME cluster set (representatives within
+    # float tolerance) — secondary clusters sit well inside the per-chunk
+    # top-256. Raise for scenes with many well-scoring distinct instances,
+    # or set 0 to keep EVERY scored hypothesis (reference semantics;
+    # memory scales with total_bases * maximum_congruent_sets).
+    sweep_keep_per_chunk: int = 256
     # Congruent extraction strategy for eager (non-jit) contexts: partition
     # bases by pair-bin size on the host and run one fixed-cap program per
     # tier (small tiers vmap-grouped) instead of a per-base lax.cond

@@ -465,7 +465,8 @@ class StocsEstimator:
         )
 
     def run_sweep(self, total_bases: int, chunk: int = 2048,
-                  keep_per_chunk: int = 256, seed: Optional[int] = None,
+                  keep_per_chunk: Optional[int] = None,
+                  seed: Optional[int] = None,
                   verbose: bool = True):
         """Large hypothesis sweep (BASELINE config 5): process `total_bases`
         class-path bases in fixed-size chunks through the same jitted phases
@@ -476,8 +477,15 @@ class StocsEstimator:
         Returns (best_lcp, best_world_transform, clustered_transforms,
         clustered_lcp, stats). A `total_bases` that is not a multiple of
         `chunk` is rounded up; stats report the bases actually
-        processed."""
+        processed.
+
+        keep_per_chunk None -> cfg.sweep_keep_per_chunk; 0 -> pool EVERY
+        scored hypothesis slot (reference full-pool clustering semantics,
+        pose_clustering.cpp:79-121; see the config field for the measured
+        truncation bound)."""
         cfg = dataclasses.replace(self.cfg, number_of_bases=chunk)
+        if keep_per_chunk is None:
+            keep_per_chunk = cfg.sweep_keep_per_chunk
         key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         n_chunks = -(-total_bases // chunk)
         total_bases = n_chunks * chunk
@@ -504,7 +512,8 @@ class StocsEstimator:
             scores, _i, _b = _phase_score(
                 poses, self.model, self.scene, self.class_prob, cfg, True
             )
-            top, idx = jax.lax.top_k(scores, keep_per_chunk)
+            kp = keep_per_chunk or scores.shape[0]
+            top, idx = jax.lax.top_k(scores, min(kp, scores.shape[0]))
             pool_s.append(top)
             pool_t.append(poses.transform[idx])
             pool_w.append(poses.world_transform[idx])

@@ -216,7 +216,7 @@ def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
             key_local, model, scene, class_prob, bits, cfg, b_local,
             coarse_to_fine,
         )
-        top, idx = jax.lax.top_k(scores, keep_local)
+        top, idx = jax.lax.top_k(scores, min(keep_local, scores.shape[0]))
         pool_s = jax.lax.all_gather(top, HYP_AXIS).reshape(-1)
         pool_t = jax.lax.all_gather(transforms[idx], HYP_AXIS).reshape(-1, 4, 4)
         pool_w = jax.lax.all_gather(world[idx], HYP_AXIS).reshape(-1, 4, 4)
@@ -239,7 +239,7 @@ def run_sweep_sharded(
     cfg: MatchConfig,
     total_bases: int,
     chunk: int = 2048,
-    keep_per_chunk: int = 256,
+    keep_per_chunk: int | None = None,
     seed: int | None = None,
     coarse_to_fine: bool = True,
     verbose: bool = True,
@@ -257,6 +257,11 @@ def run_sweep_sharded(
     if chunk % n_dev:
         raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
     b_local = chunk // n_dev
+    if keep_per_chunk is None:
+        keep_per_chunk = cfg.sweep_keep_per_chunk
+    if keep_per_chunk == 0:
+        # full-pool semantics: keep every local hypothesis slot
+        keep_per_chunk = b_local * cfg.maximum_congruent_sets * n_dev
     keep_local = max(1, keep_per_chunk // n_dev)
     n_chunks = -(-total_bases // chunk)
     actual_bases = n_chunks * chunk
