@@ -207,6 +207,14 @@ def cmd_stocs_single(argv):
         import jax as _jax
 
         n_dev = _jax.device_count()
+        if scene.has_edge and n_dev > 1:
+            # the instance path's sequential dispersion decay cannot be
+            # sharded; keep the reference semantics on one chip rather than
+            # silently switching to class sampling (stocs.cpp:559-751)
+            print(f"note: edge-mapped scene — instance-mode sweep runs "
+                  f"single-chip (the dispersion decay is sequential); "
+                  f"{n_dev}-device sharding applies to class-path scenes")
+            n_dev = 1
         if n_dev > 1:
             # shard the hypothesis axis over the mesh; chunk divisibility is
             # guaranteed by rounding up to the device count
@@ -386,15 +394,43 @@ def cmd_stocs_multi(argv):
             cfg.max_model_points,
             standardize=True,
         ))
+    edge_path = os.path.join(args.scene_path, "probability_maps", "edge.png")
     scene, probs = load_scene_multi(
         os.path.join(args.scene_path, "rgb.png"),
         os.path.join(args.scene_path, "depth.png"),
         [os.path.join(args.scene_path, "probability_maps", f"{o}.png")
          for o in objects],
-        None, cfg,
+        edge_path if os.path.exists(edge_path) else None, cfg,
     )
-    best, poses, nhyp = match_all_objects(models, scene, probs, cfg,
-                                          seed=args.seed)
+    if scene.has_edge:
+        # edge-mapped scene: honor the reference's instance-path semantics
+        # (flood-fill segments + per-base dispersion decay,
+        # stocs.cpp:114-118,559-751) by matching each object through the
+        # estimator — the decay makes sampling sequential per object, so
+        # the single fused lax.map program (class sampling only) would
+        # silently change semantics. Each object decays its own prior,
+        # like the reference's one-process-per-object runs.
+        import jax as _jax
+
+        from .estimator import StocsEstimator
+
+        print("edge-mapped scene: running the instance path per object "
+              "(sequential dispersion decay; the fused one-program path "
+              "is class sampling only)")
+        best, poses, nhyp = [], [], []
+        for o, obj in enumerate(objects):
+            sc_o = dataclasses.replace(scene, class_prob=probs[o])
+            r = StocsEstimator(models[o], sc_o, dataclasses.replace(
+                cfg, seed=args.seed)).run(verbose=False)
+            best.append(max(r.best_lcp, 0.0) if r.best_index >= 0 else 0.0)
+            poses.append(r.best_world_transform)
+            nhyp.append(r.num_hypotheses)
+        best = np.asarray(best)
+        poses = np.asarray(poses)
+        nhyp = np.asarray(nhyp)
+    else:
+        best, poses, nhyp = match_all_objects(models, scene, probs, cfg,
+                                              seed=args.seed)
     out_root = (
         os.path.join(args.output_root,
                      os.path.basename(args.scene_path.rstrip("/")))

@@ -170,6 +170,10 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
             scene.grid, scene.pos, scene.normal, class_prob,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
+            # bound the [chunk, M, 3] transformed-cloud intermediate: at
+            # sweep scale (e.g. 2048 bases x 200 sets = 409600 slots) the
+            # unchunked program would materialize ~100 GB and OOM the chip
+            chunk=8192,
         )
     idx, best = scoring.best_pose(scores)
     return scores, idx, best
@@ -469,10 +473,17 @@ class StocsEstimator:
                   seed: Optional[int] = None,
                   verbose: bool = True):
         """Large hypothesis sweep (BASELINE config 5): process `total_bases`
-        class-path bases in fixed-size chunks through the same jitted phases
-        (compiled once), keep the top `keep_per_chunk` scored poses of each
-        chunk, and greedily cluster the pool at the end. Single-chip variant
-        of parallel.sharding.matching_step_sharded's per-device loop.
+        bases in fixed-size chunks through the same jitted phases (compiled
+        once), keep the top `keep_per_chunk` scored poses of each chunk, and
+        greedily cluster the pool at the end. Single-chip variant of
+        parallel.sharding.matching_step_sharded's per-device loop.
+
+        Edge-mapped scenes run the REAL instance path per chunk — flood-fill
+        segment sampling with the dispersion decay threaded across chunks
+        (so chunk ci+1's prior reflects every base of chunks 0..ci, exactly
+        like the reference's sequential per-base decay, stocs.cpp:559-751) —
+        and each chunk is scored with its sampling-time prior. The decayed
+        prior persists on the estimator afterwards, like run().
 
         Returns (best_lcp, best_world_transform, clustered_transforms,
         clustered_lcp, stats). A `total_bases` that is not a multiple of
@@ -489,18 +500,34 @@ class StocsEstimator:
         key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         n_chunks = -(-total_bases // chunk)
         total_bases = n_chunks * chunk
+        use_instance = self.scene.has_edge
 
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
-        bits = self.exists_bits()
+        bits = None if use_instance else self.exists_bits()
         buckets = {}   # per-tier padded-size high-water marks across chunks
+        n_unconverged = 0
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
-            bases = _phase_sample(
-                k_sample, self.model.table, self.scene.pos, self.scene.normal,
-                self.class_prob, self.scene.valid, cfg, chunk, bits,
-            )
+            if use_instance:
+                inst = _phase_sample_instance(
+                    k_sample, self.model.table, self.scene, self.class_prob,
+                    cfg, chunk,
+                )
+                bases = sampling.SampledBases(
+                    inst.indices, inst.invariant1, inst.invariant2, inst.valid
+                )
+                # thread the decay: the next chunk samples (and this chunk
+                # scores) under the prior every previous base already decayed
+                self.class_prob = inst.class_prob
+                n_unconverged += int(jnp.sum(~inst.fill_converged))
+            else:
+                bases = _phase_sample(
+                    k_sample, self.model.table, self.scene.pos,
+                    self.scene.normal, self.class_prob, self.scene.valid,
+                    cfg, chunk, bits,
+                )
             sets = _run_congruent(
                 k_cong, self.model, self.scene, bases, cfg,
                 bucket_state=buckets,
@@ -520,6 +547,15 @@ class StocsEstimator:
             # device-side count: converting per chunk would sync the host
             # loop and stall dispatch pipelining
             chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
+        if n_unconverged:
+            from .utils.log import warn
+
+            warn(
+                f"{n_unconverged} flood fills across the sweep did not "
+                f"reach their BFS fixpoint in flood_fill_sweeps="
+                f"{cfg.flood_fill_sweeps} sweeps — segments under-fill",
+                n_unconverged=n_unconverged, sweeps=cfg.flood_fill_sweeps,
+            )
         nvs = np.asarray(jnp.stack(chunk_valid))
         n_hyp_total = int(nvs.sum())
         cap = cfg.score_compact_cap

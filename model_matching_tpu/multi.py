@@ -137,7 +137,23 @@ def match_all_objects(
     seed: int = 0,
 ):
     """Returns (best_lcp [O], best_world_transform [O, 4, 4],
-    hypotheses [O])."""
+    hypotheses [O]).
+
+    Class sampling only: an edge-mapped scene draws a WARNING because the
+    reference would run the instance path there (flood-fill segments +
+    sequential dispersion decay, stocs.cpp:559-751) — that decay makes
+    sampling sequential per object and cannot live inside the fused
+    lax.map program. For reference semantics on such scenes run
+    StocsEstimator per object (cli.cmd_stocs_multi does this)."""
+    if scene.has_edge:
+        from .utils.log import warn
+
+        warn(
+            "match_all_objects on an edge-mapped scene uses CLASS sampling; "
+            "the reference's instance path (flood fills + dispersion decay) "
+            "is sequential and not available in the fused multi-object "
+            "program — run StocsEstimator per object for those semantics",
+        )
     stacked = stack_models(align_models(models))
     key = jax.random.PRNGKey(seed)
     keys = jnp.stack(

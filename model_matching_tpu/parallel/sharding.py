@@ -253,6 +253,16 @@ def run_sweep_sharded(
     (best_lcp, best_world_transform, clustered_transforms, clustered_lcp,
     stats). A `total_bases` that is not a multiple of `chunk` is rounded
     up; stats report the bases actually processed."""
+    if scene.has_edge:
+        raise ValueError(
+            "run_sweep_sharded samples class-path bases only; this scene "
+            "carries an edge map, so the reference semantics are the "
+            "instance path (flood-fill segments + sequential dispersion "
+            "decay, stocs.cpp:559-751), whose per-base prior dependency "
+            "cannot be sharded over the hypothesis axis. Use "
+            "StocsEstimator.run_sweep (single-chip instance-mode sweep), "
+            "or drop the edge map to accept class sampling."
+        )
     n_dev = mesh.devices.size
     if chunk % n_dev:
         raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
