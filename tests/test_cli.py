@@ -71,6 +71,29 @@ def test_stocs_multi_missing_probability_map_friendly_error(workdir, capsys):
     assert "missing scene inputs" in out and "dove.png" in out
 
 
+def test_stocs_multi_edge_mapped_scene_runs_instance_path(workdir, capsys):
+    """stocs-multi on the packed (edge-mapped) scene must honor the edge
+    map — per-object instance matching, not silent class sampling
+    (VERDICT r2 next-step 6; reference: stocs.cpp:114-118,559-751)."""
+    rc = cli.main([
+        "model-preprocess", "dove", "--preset", "packed",
+        "--repo-path", REF, "--output-root", str(workdir),
+    ])
+    assert rc == 0
+    rc = cli.main([
+        "stocs-multi", f"{REF}/examples/packed", "dove",
+        "--preset", "packed",
+        "--repo-path", REF, "--output-root", str(workdir),
+        "--number-of-bases", "12",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "instance path" in out  # the loud dispatch note
+    pose_file = workdir / "packed" / "best_pose_candidate_dove.txt"
+    assert pose_file.exists()
+    assert np.loadtxt(pose_file).shape == (12,)
+
+
 def test_serve_program_reuse_across_models(workdir, capsys, monkeypatch,
                                            tmp_path):
     """The serve-mode value claim: the SECOND request — a different object
