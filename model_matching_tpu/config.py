@@ -178,8 +178,13 @@ class MatchConfig:
     # intra-block draws repel less and seed-pixel cache hits fill fresh
     # instead of reusing the claiming base's mask (divergences documented
     # in instance.sample_instance_bases_blocked; cumulative decay over a
-    # run is identical). Large budgets on the packed dataset should use
-    # 8-16 (mainly a compile-time win, see docs/RESULTS.md).
+    # run is identical). DECISION (measured, docs/RESULTS.md round-2/3
+    # tables): block mode is a COMPILE-TIME knob only — warm it is SLOWER
+    # than the sequential stepper (26.2 vs 21.0 ms/base at K=8; the path
+    # is compute-bound in the per-round PPF/keep masks, not dispatch-
+    # bound, and exists-bits/fixed-trip/fused-round variants all measured
+    # slower). Use 8-16 only to cut cold compile 2.6x on one-shot runs;
+    # sequential (1) stays the reference-exact and warm-fastest default.
     instance_block_size: int = 1
     # Scan steps per device dispatch for the sequential instance sampler
     # (instance.sample_instance_bases_stepwise). Each dispatch pays a

@@ -254,6 +254,14 @@ def sample_instance_bases_blocked(
     draws match the sequential sampler exactly (per-base keys are
     derived identically); tests/test_instance.py pins both the match and
     the cache-hit caveat.
+
+    STATUS (measured decision, VERDICT r2 item 7 / docs/RESULTS.md):
+    compile-time knob only. Warm, this path is SLOWER than the
+    sequential stepper (26.2 vs 21.0 ms/base at K=8 on v5e) because the
+    instance path is compute-bound in the per-round PPF/keep masks
+    (9.6 of 20 ms/base), not dispatch-bound; batching the fills (2 ms)
+    cannot pay for the divergences. Its win is 2.6x faster cold compile.
+    Keep the sequential sampler as the default.
     """
     h, w = edge_free.shape
     n = pos.shape[0]

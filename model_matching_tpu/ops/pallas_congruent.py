@@ -15,7 +15,8 @@ direction, 6 squared norm, 7/8 the packed int32 cell id split into its
 low/high 16-bit halves — both exact in f32, so the pairwise f32
 equality of the halves is exactly int32 equality; rows 9-15 pad to the
 8-sublane tile).
-Unlike the shelved scoring kernel (pallas_field.py), nothing here
+Unlike the dropped dense-field scoring kernel (design record in
+docs/RESULTS.md, "Mosaic VMEM-gather re-probe"), nothing here
 gathers: matmul (MXU, K=3) + elementwise + reductions only, which the
 available Mosaic toolchain lowers.
 

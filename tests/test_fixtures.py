@@ -254,6 +254,64 @@ def test_packed_dove_instance_path_end_to_end(dove_artifacts):
     )
 
 
+def test_ycb_bowl_ladder_exact_argmax_identity(bowl_artifacts):
+    """The north-star metric's honesty condition at FIXTURE scale: the
+    3-stage ladder (score_hybrid) and the exact grid scorer
+    (score_transforms) must crown the same hypothesis on a real YCB-bowl
+    chunk, not just the synthetic scene (VERDICT r2 next-step 4;
+    reference scoring: stocs.cpp:982-1004). 512 bases here keeps CI under
+    ~2 min; the full 2048-base chunk (409,600 slots) is pinned on the real
+    chip in docs/RESULTS.md with the same outcome (identical index, score
+    delta 1.5e-8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from model_matching_tpu.config import get_preset
+    from model_matching_tpu.estimator import (
+        StocsEstimator, _phase_fit, _phase_sample, _phase_score,
+        _run_congruent,
+    )
+    from model_matching_tpu.model import load_model_pack
+    from model_matching_tpu.scene import load_scene
+
+    cfg = get_preset("ycb").match
+    model = load_model_pack(
+        str(bowl_artifacts / "model_search.ply"),
+        str(bowl_artifacts / "ppf_table.npz"),
+        cfg.max_model_points,
+    )
+    scene = load_scene(
+        f"{REF}/examples/ycb/rgb.png",
+        f"{REF}/examples/ycb/depth.png",
+        f"{REF}/examples/ycb/probability_maps/024_bowl.png",
+        None, cfg,
+    )
+    est = StocsEstimator(model, scene, cfg)
+    chunk = 512
+    ccfg = dataclasses.replace(cfg, number_of_bases=chunk)
+    ks, kc = jax.random.split(jax.random.PRNGKey(7))
+    bases = _phase_sample(
+        ks, model.table, scene.pos, scene.normal, est.class_prob,
+        scene.valid, ccfg, chunk, est.exists_bits(),
+    )
+    sets = _run_congruent(kc, model, scene, bases, ccfg)
+    poses = _phase_fit(
+        scene.pos, model.pos, scene.centroid, model.centroid, bases, sets,
+    )
+    assert int(jnp.sum(poses.valid)) > 2000  # a real hypothesis population
+
+    _s, i_ladder, b_ladder = _phase_score(
+        poses, model, scene, est.class_prob, ccfg, True)
+    _s, i_exact, b_exact = _phase_score(
+        poses, model, scene, est.class_prob, ccfg, False)
+    i_ladder, i_exact = int(i_ladder), int(i_exact)
+    tl = np.asarray(poses.transform)[i_ladder]
+    te = np.asarray(poses.transform)[i_exact]
+    # same pose (ties between duplicate-pose slots are acceptable)
+    np.testing.assert_allclose(tl, te, atol=1e-5)
+    np.testing.assert_allclose(float(b_ladder), float(b_exact), atol=1e-5)
+
+
 def test_packed_dove_instance_sweep(dove_artifacts):
     """Chunked instance-mode sweep (VERDICT r2 next-step 3): run_sweep on
     an edge-mapped scene must sample flood-fill instance bases per chunk
