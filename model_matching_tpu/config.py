@@ -141,16 +141,21 @@ class MatchConfig:
     # or set 0 to keep EVERY scored hypothesis (reference semantics;
     # memory scales with total_bases * maximum_congruent_sets).
     sweep_keep_per_chunk: int = 256
-    # Congruent extraction strategy for eager (non-jit) contexts: partition
-    # bases by pair-bin size on the host and run one fixed-cap program per
-    # tier (small tiers vmap-grouped) instead of a per-base lax.cond
-    # ladder. Output-identical to the monolithic program (congruent.py).
-    # Default False: on the measured v5e remote-dispatch backend the
-    # per-chunk count-pass host sync cancels the small-tier grouping gains
-    # (both paths time ~equal); the knob exists for backends with cheap
-    # host round-trips. In-jit callers (shard_map, multi-object) always
-    # use the monolithic path.
-    congruent_partition: bool = False
+    # Sorted-grouped congruent dispatch: argsort bases by pair-bin load on
+    # device and run G bases per tier pick — one lax.cond per group, the
+    # small tiers vmapped across the group — amortizing the per-base fixed
+    # cost that dominates sparse bins (cap-256 group-16 measured 3.7x
+    # faster per base than ungrouped on v5e). Stays one jit program, so it
+    # applies inside shard_map and the multi-object program too. Bases in
+    # a group straddling a tier boundary run at the group's larger cap:
+    # same match set and totals, possibly a different random subsample
+    # when the set exceeds maximum_congruent_sets (congruent.py docstring;
+    # the reference's subsample is itself rand()-ordered,
+    # stocs_match_one_object.cpp:126-143). G shrinks to the largest
+    # divisor of the batch size; 0/1 = per-base cond ladder. Replaces the
+    # round-2 host-partitioned executor, whose count-pass host sync
+    # cancelled the same gains (cut in round 3, docs/RESULTS.md).
+    congruent_sorted_groups: int = 16
     # Fuse the congruent gate matrix + subsample selection into a Pallas
     # VMEM-tiled kernel (ops/pallas_congruent.py) instead of the XLA
     # [P, Q] intermediates. Bit-identical to the XLA path on the fixture

@@ -25,7 +25,6 @@ one-base-sized.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -41,11 +40,11 @@ _PALLAS_MIN_CAP = 4096
 
 
 def tier_plan(p_cap: int):
-    """Dispatch tier construction shared by the monolithic cond ladder and
-    the host-partitioned executor, so both run the exact same (cap,
-    q_block) ladder for any max_pairs_per_bin. Returns (tiers, top) where
-    `tiers` is the ascending [(cap, q_block)] list below the top tier and
-    `top` is (p_cap, q_block).
+    """Dispatch tier construction shared by the per-base cond ladder and
+    the sorted-grouped dispatch, so both run the exact same (cap, q_block)
+    ladder for any max_pairs_per_bin. Returns (tiers, top) where `tiers`
+    is the ascending [(cap, q_block)] list below the top tier and `top`
+    is (p_cap, q_block).
 
     256/1024/4096 run the full [cap, cap] gate matrix; 8192 and any
     p_cap >= 8192 block the Q axis in 4096-wide chunks to bound the gate
@@ -87,18 +86,27 @@ def extract_congruent_sets(
     invariant2: jax.Array,    # [B]
     base_valid: jax.Array,    # [B]
     cfg: MatchConfig,
-    tier_dispatch: bool = True,
-    group: int = 1,
-    base_keys: jax.Array | None = None,
 ) -> CongruentSets:
-    """`tier_dispatch=False` compiles a single fixed-cap branch
-    (cap = cfg.max_pairs_per_bin, no per-base lax.cond ladder); `group=G`
-    vmaps G bases per lax.map iteration (requires tier_dispatch=False —
-    vmapping the cond ladder would execute every branch); `base_keys`
-    overrides the internal split(key, B) with caller-supplied per-base
-    keys. All three are used by extract_congruent_sets_partitioned;
-    per-base outputs are invariant to the knobs (each base's subsample
-    salt comes from its own key)."""
+    """Dispatch: with `cfg.congruent_sorted_groups = G > 1` (default 16)
+    bases are argsorted by pair-bin size ON DEVICE and processed G at a
+    time — one lax.cond tier pick per group, the small tiers vmapped
+    across the group — which amortizes the per-base fixed cost (pair
+    gathers, probes, top_k) that dominates sparse bins (measured 3.7x
+    per base for the cap-256 tier at G=16 on v5e). Everything stays one
+    jit program (argsort + gather + scatter are device ops), so the
+    grouped path also runs inside shard_map and the multi-object program
+    — unlike the deleted host-partitioned executor it replaces, whose
+    count-pass host sync cancelled the same gains (docs/RESULTS.md).
+
+    G <= 1 (or a batch not divisible by G) falls back to the per-base
+    lax.cond ladder. Outputs vs that ladder: identical tier per base —
+    hence bit-identical quads — EXCEPT for bases in a group that
+    straddles a tier boundary, which run at the group's (larger) cap:
+    same candidate match set, same totals, but a different random
+    subsample packing when the set exceeds maximum_congruent_sets (the
+    reference's own subsample is rand()-ordered,
+    stocs_match_one_object.cpp:126-143; tests/test_congruent.py pins the
+    set-level equivalence)."""
     center, ratio = _unit_cube_params(model_pos)
     unit_pos = (model_pos - center) / ratio + 0.5
 
@@ -113,8 +121,9 @@ def extract_congruent_sets(
     # the random top-k IS the reference's random 200-subsample: when fewer
     # than maximum_congruent_sets match, all are taken
     k_cap = cfg.maximum_congruent_sets
+    tiers, (_top_cap, top_qb) = tier_plan(p_cap)
 
-    def one_base(args):
+    def one_base(args, fixed_tier=None):
         bkey, bidx, inv1, inv2, bvalid = args
         b = scene_pos[bidx]          # [4, 3]
         bn = scene_normal[bidx]
@@ -350,10 +359,9 @@ def extract_congruent_sets(
         # Fixture pair-count distribution (YCB bowl, docs/RESULTS.md):
         # p50=30, p90=535, p99=7887 — the 256 tier carries most bases at
         # ~half the 1024-tier cost (154 vs 323 us/base measured).
-        tiers, (_top_cap, top_qb) = tier_plan(p_cap)
-        if not tier_dispatch:
-            tiers = []
-        if not tiers:
+        if fixed_tier is not None:
+            quads, quad_valid, total = match_block(*fixed_tier)
+        elif not tiers:
             quads, quad_valid, total = match_block(p_cap, top_qb)
         else:
             def dispatch(remaining):
@@ -373,165 +381,79 @@ def extract_congruent_sets(
         ).astype(jnp.int32)
 
     b = base_indices.shape[0]
-    keys = jax.random.split(key, b) if base_keys is None else base_keys
+    keys = jax.random.split(key, b)
     args = (keys, base_indices, invariant1, invariant2, base_valid)
-    del base_keys
-    if group > 1:
-        assert not tier_dispatch, "group>1 requires tier_dispatch=False"
-        assert b % group == 0, (b, group)
-        grouped = jax.tree_util.tree_map(
-            lambda a: a.reshape((b // group, group) + a.shape[1:]), args
+
+    # group width: the configured G, shrunk to the largest divisor of B so
+    # any batch size groups (a prime B degenerates to the per-base ladder)
+    g = max(1, cfg.congruent_sorted_groups)
+    while g > 1 and b % g:
+        g -= 1
+
+    if g > 1 and tiers:
+        tr, rot = cfg.ppf_tr_discretization, cfg.ppf_rot_discretization
+
+        def base_load(bidx):
+            # tier-selection count pass: two PPF-bin lookups per base,
+            # trivial next to the gate matrices they route
+            bp, bn = scene_pos[bidx], scene_normal[bidx]
+            l1 = jnp.sum(lookup_pair_range(
+                table, ppf_bins(bp[0], bn[0], bp[1], bn[1], tr, rot))[1])
+            l2 = jnp.sum(lookup_pair_range(
+                table, ppf_bins(bp[2], bn[2], bp[3], bn[3], tr, rot))[1])
+            return jnp.maximum(l1, l2)
+
+        loads = jax.vmap(base_load)(base_indices)
+        order = jnp.argsort(loads)  # stable: ties keep batch order
+        gargs = jax.tree_util.tree_map(
+            lambda a: a[order].reshape((b // g, g) + a.shape[1:]), args
         )
-        quads, quad_valid, totals, pair_counts = jax.lax.map(
-            jax.vmap(one_base), grouped
+        gmax = loads[order].reshape(b // g, g).max(axis=1)
+
+        def run_tier(tier, ga):
+            cap = tier[0]
+            f = lambda a: one_base(a, fixed_tier=tier)
+            # vmap width per tier: sparse tiers batch the whole group
+            # (their [cap, cap] matrices are small), the 4096 tier
+            # batches 4, Q-blocked tiers stay sequential — keeps the
+            # widest transient at ~[16, 1024, 1024] f32
+            w = g if cap <= 1024 else (min(g, 4) if cap <= 4096 else 1)
+            while g % w:
+                w -= 1
+            if w <= 1:
+                return jax.lax.map(f, ga)
+            sub_g = jax.tree_util.tree_map(
+                lambda a: a.reshape((g // w, w) + a.shape[1:]), ga
+            )
+            out = jax.lax.map(jax.vmap(f), sub_g)
+            return jax.tree_util.tree_map(
+                lambda a: a.reshape((g,) + a.shape[2:]), out
+            )
+
+        def one_group(inp):
+            ga, gm = inp
+
+            def pick(remaining):
+                if not remaining:
+                    return run_tier((p_cap, top_qb), ga)
+                cap, qb = remaining[0]
+                return jax.lax.cond(
+                    gm <= cap,
+                    lambda _: run_tier((cap, qb), ga),
+                    lambda _: pick(remaining[1:]),
+                    None,
+                )
+
+            return pick(tiers)
+
+        out = jax.lax.map(one_group, (gargs, gmax))
+        inv = jnp.argsort(order)
+        quads, quad_valid, totals, pair_counts = jax.tree_util.tree_map(
+            lambda a: a.reshape((b,) + a.shape[2:])[inv], out
         )
-        quads = quads.reshape((b,) + quads.shape[2:])
-        quad_valid = quad_valid.reshape((b,) + quad_valid.shape[2:])
-        totals = totals.reshape(b)
-        pair_counts = pair_counts.reshape(b, 2)
     else:
         quads, quad_valid, totals, pair_counts = jax.lax.map(
             one_base, args
         )
     return CongruentSets(quads, quad_valid, totals, pair_counts)
 
-
-# ---------------------------------------------------------------------------
-# host-partitioned tier execution (the eager fast path)
-# ---------------------------------------------------------------------------
-
-# vmap group per tier cap: groups amortize the per-base fixed cost (pair
-# gathers, probes, top_k) that dominates small-cap tiers — measured on
-# v5e: cap-256 group 16 is 3.7x faster per base than group 1. Groups only
-# batch dispatch; they never change outputs.
-_TIER_GROUPS = {256: 16, 1024: 16, 4096: 4}
-
-
-@partial(jax.jit, static_argnames=("tr", "rot"))
-def _pair_totals(table, scene_pos, scene_normal, base_indices, tr, rot):
-    """[B, 2] (p_total, q_total) — the tier-selection count pass."""
-
-    def one(bidx):
-        bp = scene_pos[bidx]
-        bn = scene_normal[bidx]
-
-        def tot(a, bb):
-            bins = ppf_bins(bp[a], bn[a], bp[bb], bn[bb], tr, rot)
-            return jnp.sum(lookup_pair_range(table, bins)[1])
-
-        return jnp.stack([tot(0, 1), tot(2, 3)])
-
-    return jax.vmap(one)(base_indices)
-
-
-def extract_congruent_sets_partitioned(
-    key: jax.Array,
-    table: PPFTable,
-    model_pos: jax.Array,
-    scene_pos: jax.Array,
-    scene_normal: jax.Array,
-    base_indices: jax.Array,
-    invariant1: jax.Array,
-    invariant2: jax.Array,
-    base_valid: jax.Array,
-    cfg: MatchConfig,
-    bucket_state: dict | None = None,
-) -> CongruentSets:
-    """Host-partitioned tier execution: count each base's pair-bin sizes, group
-    bases by tier on the host, and run one fixed-cap single-branch program
-    per occupied tier (vmap-grouped for the small tiers). Output-identical
-    to extract_congruent_sets — each base keeps its own key-derived
-    subsample salt and lands in the same tier the lax.cond ladder would
-    pick — but the small-bin majority stops paying the per-base fixed
-    cost, and dense bases no longer serialize behind a cond ladder.
-
-    Eager-context only (host control flow); the in-jit callers (shard_map
-    step, multi-object program) keep the monolithic version.
-
-    `bucket_state` (a caller-owned dict) holds per-tier padded-size
-    high-water marks so chunked sweeps reuse compiled programs instead of
-    recompiling when a tier's population wobbles."""
-    import numpy as np
-
-    b = base_indices.shape[0]
-    keys = jax.random.split(key, b)
-    counts = _pair_totals(
-        table, scene_pos, scene_normal, base_indices,
-        cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
-    )
-    counts_np = np.asarray(counts)
-    mx = counts_np.max(axis=1)
-    p_cap = cfg.max_pairs_per_bin
-
-    # the SAME tier construction the monolithic cond ladder uses — a tier
-    # existing in only one path would change col_bits/marker/stripe widths
-    # for bases landing in it and break the output-identical guarantee
-    pre, (top_cap, top_qb) = tier_plan(p_cap)
-    tiers = [(c, qb, _TIER_GROUPS.get(c, 1)) for c, qb in pre]
-    tiers.append((top_cap, top_qb, 1 if p_cap > 4096 else 4))
-    caps = np.array([t[0] for t in tiers])
-    # tier index per base: first cap >= max(p, q); counts beyond the top
-    # cap stay in the top tier (truncated there, like the monolithic path)
-    tier_of = np.searchsorted(caps, np.minimum(mx, p_cap))
-
-    if bucket_state is None:
-        bucket_state = {}
-
-    quads = jnp.zeros((b, cfg.maximum_congruent_sets, 4), jnp.int32)
-    quad_valid = jnp.zeros((b, cfg.maximum_congruent_sets), bool)
-    totals = jnp.zeros((b,), jnp.int32)
-
-    import dataclasses as _dc
-
-    for ti, (cap, _qb, grp) in enumerate(tiers):
-        sel = np.nonzero(tier_of == ti)[0]
-        if sel.size == 0:
-            continue
-        # pad to a unit the group divides; the dense tier pads to 16 so the
-        # high-water mark (not every population wobble) decides recompiles
-        unit = max(grp, 64) if cap <= 4096 else 16
-        padded = -(-sel.size // unit) * unit
-        padded = max(padded, bucket_state.get(cap, 0))
-        bucket_state[cap] = padded
-        pad = padded - sel.size
-        # padding rows point past the end: the fused scatter drops them
-        sel_p = np.concatenate(
-            [sel, np.full(pad, b, np.int64)]
-        ) if pad else sel
-        quads, quad_valid, totals = _tier_step(
-            quads, quad_valid, totals, jnp.asarray(sel_p),
-            keys, base_indices, invariant1, invariant2, base_valid,
-            table, model_pos, scene_pos, scene_normal,
-            _dc.replace(cfg, max_pairs_per_bin=int(cap)), grp,
-        )
-
-    return CongruentSets(
-        quads, quad_valid, totals, counts.astype(jnp.int32)
-    )
-
-
-@partial(jax.jit, static_argnames=("cfg", "group"),
-         donate_argnums=(0, 1, 2))
-def _tier_step(quads, quad_valid, totals, sel,
-               keys, base_indices, invariant1, invariant2, base_valid,
-               table, model_pos, scene_pos, scene_normal,
-               cfg: MatchConfig, group: int):
-    """One tier as ONE device dispatch: gather the tier's bases, run the
-    fixed-cap extraction, scatter results into the full-batch outputs.
-    `sel` rows equal to B are padding — their gathers clamp and their
-    scatters drop (mode='drop'). Fusing the bookkeeping into the jit
-    matters on remote-dispatch backends, where a dozen eager gather/
-    scatter ops per tier cost more than the extraction itself."""
-    b = base_indices.shape[0]
-    safe = jnp.minimum(sel, b - 1)
-    live = sel < b
-    out = extract_congruent_sets(
-        keys[0], table, model_pos, scene_pos, scene_normal,
-        base_indices[safe], invariant1[safe], invariant2[safe],
-        base_valid[safe] & live, cfg,
-        tier_dispatch=False, group=group, base_keys=keys[safe],
-    )
-    quads = quads.at[sel].set(out.quads, mode="drop")
-    quad_valid = quad_valid.at[sel].set(out.quad_valid, mode="drop")
-    totals = totals.at[sel].set(out.total_found, mode="drop")
-    return quads, quad_valid, totals

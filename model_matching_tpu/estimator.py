@@ -108,16 +108,9 @@ def _phase_congruent(key, table, model_pos, scene_pos, scene_normal,
     )
 
 
-def _run_congruent(key, model, scene, bases, cfg: MatchConfig,
-                   bucket_state=None):
-    """Eager congruent dispatch: host-partitioned tiers when enabled (the
-    fast path), else the monolithic jitted cond-ladder program."""
-    if cfg.congruent_partition:
-        return congruent.extract_congruent_sets_partitioned(
-            key, model.table, model.pos, scene.pos, scene.normal,
-            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-            cfg, bucket_state=bucket_state,
-        )
+def _run_congruent(key, model, scene, bases, cfg: MatchConfig):
+    """Congruent dispatch (one jit program; sorted-grouped tiers inside it
+    per cfg.congruent_sorted_groups, congruent.py)."""
     return _phase_congruent(
         key, model.table, model.pos, scene.pos, scene.normal, bases, cfg
     )
@@ -505,7 +498,6 @@ class StocsEstimator:
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
         bits = None if use_instance else self.exists_bits()
-        buckets = {}   # per-tier padded-size high-water marks across chunks
         n_unconverged = 0
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
@@ -529,8 +521,7 @@ class StocsEstimator:
                     cfg, chunk, bits,
                 )
             sets = _run_congruent(
-                k_cong, self.model, self.scene, bases, cfg,
-                bucket_state=buckets,
+                k_cong, self.model, self.scene, bases, cfg
             )
             poses = _phase_fit(
                 self.scene.pos, self.model.pos, self.scene.centroid,

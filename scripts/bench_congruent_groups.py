@@ -1,12 +1,13 @@
-"""VERDICT r2 next-step 9a: benchmark the host-partitioned congruent
-executor (`congruent_partition=True`) against the monolithic cond-ladder
-program on a CHEAP-DISPATCH backend (CPU), where the per-chunk count-pass
-host sync that cancelled its gains on the v5e remote-dispatch backend
-should be ~free. Decides flip-default-on-CPU vs delete.
+"""Benchmark the device-side sorted-grouped congruent dispatch
+(`congruent_sorted_groups=G`) against the per-base cond ladder (G=0) on
+the YCB fixture chunk. This is the round-3 replacement for the deleted
+host-partitioned executor (bench_congruent_partition.py in git history):
+same small-tier grouping idea, but the count pass / argsort / grouping
+all stay inside the one jit program, so no host sync.
 
-Usage (CPU):
-    env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-        python scripts/bench_congruent_partition.py [--bases 512] [--iters 3]
+Usage:
+    python scripts/bench_congruent_groups.py [--bases 2048] [--iters 3]
+    (prefix with env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu for CPU)
 """
 
 import argparse
@@ -24,13 +25,18 @@ REF = "/root/reference"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bases", type=int, default=512)
+    ap.add_argument("--bases", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--groups", type=int, nargs="*", default=[0, 8, 16, 32])
     ap.add_argument("--out", default="artifacts/measure")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    from model_matching_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from model_matching_tpu.config import get_preset
     from model_matching_tpu.estimator import (
@@ -66,37 +72,35 @@ def main():
     jax.block_until_ready(bases.indices)
 
     results = {}
-    for tag, part in (("monolithic", False), ("partitioned", True)):
-        c = dataclasses.replace(cfg, congruent_partition=part)
-        bucket_state = {}
-        # cold (compile) pass
+    for g in args.groups:
+        c = dataclasses.replace(cfg, congruent_sorted_groups=g)
         t0 = time.perf_counter()
-        sets = _run_congruent(kc, model, scene, bases, c,
-                              bucket_state=bucket_state if part else None)
+        sets = _run_congruent(kc, model, scene, bases, c)
         jax.block_until_ready(sets.quads)
         cold = time.perf_counter() - t0
-        # warm passes
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            sets = _run_congruent(kc, model, scene, bases, c,
-                                  bucket_state=bucket_state if part else None)
+            sets = _run_congruent(kc, model, scene, bases, c)
             jax.block_until_ready(sets.quads)
             times.append(time.perf_counter() - t0)
         warm = min(times)
-        results[tag] = (sets, cold, warm)
-        print(f"[{tag}] cold={cold:.2f}s warm={warm * 1e3:.0f}ms "
+        results[g] = (sets, cold, warm)
+        print(f"[G={g:3d}] cold={cold:.2f}s warm={warm * 1e3:.0f}ms "
               f"({warm / args.bases * 1e6:.0f} us/base) "
               f"valid={int(jnp.sum(sets.quad_valid))}", flush=True)
 
-    sa, sb = results["monolithic"][0], results["partitioned"][0]
-    same = (np.array_equal(np.asarray(sa.quads), np.asarray(sb.quads))
-            and np.array_equal(np.asarray(sa.quad_valid),
-                               np.asarray(sb.quad_valid)))
-    wa = results["monolithic"][2]
-    wb = results["partitioned"][2]
-    print(f"[verdict] output_identical={same} speedup={wa / wb:.2f}x "
-          f"(partitioned {'WINS' if wb < wa else 'LOSES'})", flush=True)
+    ladder = results.get(0) or results[min(results)]
+    for g, (sets, _c, warm) in results.items():
+        if (sets, _c, warm) is ladder:
+            continue
+        same_valid = np.array_equal(
+            np.asarray(ladder[0].total_found), np.asarray(sets.total_found)
+        )
+        wl = ladder[2]
+        print(f"[verdict G={g}] totals_identical={same_valid} "
+              f"speedup={wl / warm:.2f}x "
+              f"({'WINS' if warm < wl else 'LOSES'})", flush=True)
 
 
 if __name__ == "__main__":

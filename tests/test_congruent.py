@@ -205,24 +205,39 @@ def test_config_validates_ppf_discretization():
         )
 
 
-def test_partitioned_matches_monolithic(rng):
-    """extract_congruent_sets_partitioned must reproduce the monolithic
-    cond-ladder program exactly: same tier per base, same per-base key
-    salt, so identical valid quads, totals, and pair counts — across
-    mixed bin densities and regardless of the tier-bucket padding."""
-    mpos = rng.uniform(-0.1, 0.1, (80, 3)).astype(np.float32)
-    mpos[:, 2] = rng.normal(0, 0.002, 80)
-    _junk, mnrm = random_cloud(rng, 80)
-    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 5, 5)
-    spos, snrm = mpos.copy(), mnrm.copy()
-    cfg = MatchConfig(
-        max_pairs_per_bin=1024,
-        maximum_congruent_sets=32,
-        congruent_cos_tolerance=0.3,
-    )
+def test_sorted_grouped_matches_ladder(monkeypatch):
+    """The sorted-grouped dispatch must reproduce the per-base cond ladder
+    base-for-base: a base whose group stays inside its own tier is
+    bit-identical to the ladder; a base escalated by a tier-straddling
+    group is bit-identical to a ladder forced to run everything at the
+    escalated (top) cap. With max_pairs_per_bin=1024 there are exactly
+    two tiers (256 and top-1024), so those two references cover every
+    base — and totals/pair_counts are selection-independent and must
+    match the ladder everywhere.
 
-    b = 24
-    idx = np.stack([rng.choice(80, 4, replace=False) for _ in range(b)])
+    seed 0 / (160 pts, tr 35, rot 10, 48 bases) is chosen so the sorted
+    groups hit all three regimes — a fully-small group, a straddling
+    group (escalated bases), and dense top-tier bases — asserted
+    below."""
+    rng = np.random.default_rng(0)
+    mpos = rng.uniform(-0.1, 0.1, (160, 3)).astype(np.float32)
+    mpos[:, 2] = rng.normal(0, 0.002, 160)
+    mnrm = rng.normal(size=(160, 3)).astype(np.float32)
+    mnrm /= np.linalg.norm(mnrm, axis=1, keepdims=True)
+    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 35, 10)
+    spos, snrm = mpos.copy(), mnrm.copy()
+    base = MatchConfig(
+        max_pairs_per_bin=1024,
+        maximum_congruent_sets=16,  # < densest total: subsampling engages
+        congruent_cos_tolerance=0.3,
+        ppf_tr_discretization=35,
+        ppf_rot_discretization=10,
+    )
+    cfg_g = dataclasses.replace(base, congruent_sorted_groups=16)
+    cfg_l = dataclasses.replace(base, congruent_sorted_groups=0)
+
+    b = 48
+    idx = np.stack([rng.choice(160, 4, replace=False) for _ in range(b)])
     perm, i1, i2, _d = invariants.reorder_base(jnp.asarray(spos[idx]))
     bases = np.take_along_axis(idx, np.asarray(perm), axis=-1).astype(
         np.int32
@@ -232,49 +247,60 @@ def test_partitioned_matches_monolithic(rng):
 
     args = (
         table, jnp.asarray(mpos), jnp.asarray(spos), jnp.asarray(snrm),
-        jnp.asarray(bases), i1, i2, jnp.asarray(valid), cfg,
+        jnp.asarray(bases), i1, i2, jnp.asarray(valid),
     )
     key = jax.random.PRNGKey(5)
-    mono = congruent.extract_congruent_sets(key, *args)
-    buckets = {}
-    part = congruent.extract_congruent_sets_partitioned(
-        key, *args, bucket_state=buckets
+    grouped = congruent.extract_congruent_sets(key, *args, cfg_g)
+    ladder = congruent.extract_congruent_sets(key, *args, cfg_l)
+    # third reference: the ladder with its 256 tier removed, i.e. every
+    # base at the top (1024) cap — what an escalated base must equal
+    monkeypatch.setattr(
+        congruent, "tier_plan", lambda p_cap: ([], (p_cap, None))
     )
-    np.testing.assert_array_equal(
-        np.asarray(mono.quad_valid), np.asarray(part.quad_valid)
-    )
-    mv = np.asarray(mono.quad_valid)
-    np.testing.assert_array_equal(
-        np.asarray(mono.quads)[mv], np.asarray(part.quads)[mv]
-    )
-    np.testing.assert_array_equal(
-        np.asarray(mono.total_found), np.asarray(part.total_found)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(mono.pair_counts), np.asarray(part.pair_counts)
-    )
-    assert buckets  # the high-water marks were recorded
+    ladder_top = congruent.extract_congruent_sets(key, *args, cfg_l)
+    monkeypatch.undo()
 
-    # a second call with grown buckets (forced padding) must not change
-    # any output
-    for k in list(buckets):
-        buckets[k] = buckets[k] * 2
-    part2 = congruent.extract_congruent_sets_partitioned(
-        key, *args, bucket_state=buckets
+    np.testing.assert_array_equal(
+        np.asarray(grouped.total_found), np.asarray(ladder.total_found)
     )
     np.testing.assert_array_equal(
-        np.asarray(part.quad_valid), np.asarray(part2.quad_valid)
+        np.asarray(grouped.pair_counts), np.asarray(ladder.pair_counts)
     )
-    np.testing.assert_array_equal(
-        np.asarray(part.quads)[mv], np.asarray(part2.quads)[mv]
-    )
+
+    # replicate the device grouping on the host: stable argsort by
+    # max(p_total, q_total), group width = largest divisor of B <= 16
+    loads = np.asarray(ladder.pair_counts).max(axis=1)
+    g = 16
+    while b % g:
+        g -= 1
+    assert g == 16
+    order = np.argsort(loads, kind="stable")
+    gmax = loads[order].reshape(b // g, g).max(axis=1)
+    base_small = loads <= 256
+    group_small = np.repeat(gmax <= 256, g)[np.argsort(order, kind="stable")]
+
+    escalated = base_small & ~group_small
+    kept = ~escalated
+    # the mixed-density cloud must actually exercise both branches
+    assert escalated.any() and (base_small & group_small).any() \
+        and (~base_small).any()
+
+    for ref, sel in ((ladder, kept), (ladder_top, escalated)):
+        np.testing.assert_array_equal(
+            np.asarray(grouped.quad_valid)[sel],
+            np.asarray(ref.quad_valid)[sel],
+        )
+        mv = np.asarray(ref.quad_valid) & sel[:, None]
+        np.testing.assert_array_equal(
+            np.asarray(grouped.quads)[mv], np.asarray(ref.quads)[mv]
+        )
 
 
 def test_tier_plan_shared_construction():
-    """The partitioned executor must run the exact ladder the monolithic
-    path compiles for ANY permitted max_pairs_per_bin (ADVICE r2: a
-    16384-only tier in the partitioned path broke output-identity for
-    p_cap > 16384). tier_plan is now the single source of truth; pin its
+    """Every congruent executor must run the exact same ladder for ANY
+    permitted max_pairs_per_bin (ADVICE r2: a 16384-only tier in the
+    then-extant partitioned executor broke output-identity for
+    p_cap > 16384). tier_plan is the single source of truth; pin its
     shape at the boundary caps."""
     assert congruent.tier_plan(1024) == ([(256, None)], (1024, None))
     assert congruent.tier_plan(4096) == (
