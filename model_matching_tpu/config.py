@@ -145,7 +145,10 @@ class MatchConfig:
     # device and run G bases per tier pick — one lax.cond per group, the
     # small tiers vmapped across the group — amortizing the per-base fixed
     # cost that dominates sparse bins (cap-256 group-16 measured 3.7x
-    # faster per base than ungrouped on v5e). Stays one jit program, so it
+    # faster per base than ungrouped on v5e; whole-phase on the YCB
+    # fixture chunk: G=8 1.20x / G=16 1.13x / G=32 1.03x vs the per-base
+    # ladder, 439 -> 366 us/base — scripts/bench_congruent_groups.py,
+    # hence the default 8). Stays one jit program, so it
     # applies inside shard_map and the multi-object program too. Bases in
     # a group straddling a tier boundary run at the group's larger cap:
     # same match set and totals, possibly a different random subsample
@@ -155,7 +158,7 @@ class MatchConfig:
     # divisor of the batch size; 0/1 = per-base cond ladder. Replaces the
     # round-2 host-partitioned executor, whose count-pass host sync
     # cancelled the same gains (cut in round 3, docs/RESULTS.md).
-    congruent_sorted_groups: int = 16
+    congruent_sorted_groups: int = 8
     # Fuse the congruent gate matrix + subsample selection into a Pallas
     # VMEM-tiled kernel (ops/pallas_congruent.py) instead of the XLA
     # [P, Q] intermediates. Bit-identical to the XLA path on the fixture

@@ -87,7 +87,7 @@ def extract_congruent_sets(
     base_valid: jax.Array,    # [B]
     cfg: MatchConfig,
 ) -> CongruentSets:
-    """Dispatch: with `cfg.congruent_sorted_groups = G > 1` (default 16)
+    """Dispatch: with `cfg.congruent_sorted_groups = G > 1` (default 8)
     bases are argsorted by pair-bin size ON DEVICE and processed G at a
     time — one lax.cond tier pick per group, the small tiers vmapped
     across the group — which amortizes the per-base fixed cost (pair

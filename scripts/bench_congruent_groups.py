@@ -90,9 +90,10 @@ def main():
               f"({warm / args.bases * 1e6:.0f} us/base) "
               f"valid={int(jnp.sum(sets.quad_valid))}", flush=True)
 
-    ladder = results.get(0) or results[min(results)]
+    lg = 0 if 0 in results else min(results)
+    ladder = results[lg]
     for g, (sets, _c, warm) in results.items():
-        if (sets, _c, warm) is ladder:
+        if g == lg:
             continue
         same_valid = np.array_equal(
             np.asarray(ladder[0].total_found), np.asarray(sets.total_found)
