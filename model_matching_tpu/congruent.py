@@ -46,12 +46,14 @@ def tier_plan(p_cap: int):
     is the ascending [(cap, q_block)] list below the top tier and `top`
     is (p_cap, q_block).
 
-    256/1024/4096 run the full [cap, cap] gate matrix; 8192 and any
+    256..4096 run the full [cap, cap] gate matrix; 8192 and any
     p_cap >= 8192 block the Q axis in 4096-wide chunks to bound the gate
     intermediate at [cap, 4096]. The 8192 tier exists because the fixture
     p99 is 7887 pairs — most "dense" bases run at half the top-tier
-    matrix (docs/RESULTS.md)."""
-    tiers = [(c, None) for c in (256, 1024, 4096) if c < p_cap]
+    matrix. The 512/2048 intermediates halve the matrix for bases just
+    over the 256/1024 caps: whole-phase 750 -> 694 ms on the fixture
+    chunk (docs/RESULTS.md round-3 table)."""
+    tiers = [(c, None) for c in (256, 512, 1024, 2048, 4096) if c < p_cap]
     if p_cap > 8192:
         tiers.append((8192, 4096))
     return tiers, (p_cap, 4096 if p_cap >= 8192 else None)

@@ -131,6 +131,7 @@ def score_hybrid(
     mid_fraction: float = 0.08,
     refine_count: int = 256,
     compact_cap: int = 0,
+    bucket_stage1: bool = True,
 ):
     """Production scorer: a three-stage ladder.
 
@@ -147,7 +148,17 @@ def score_hybrid(
     `compact_cap` slots enter the ladder (a B-base batch carries
     B * maximum_congruent_sets slots, typically ~5-10% valid; compaction
     removes the dead gather traffic). Valid slots beyond the cap are
-    dropped — callers warn via MatchConfig.score_compact_cap docs."""
+    dropped — callers warn via MatchConfig.score_compact_cap docs.
+
+    When compaction engages, stage 1 additionally runs at a bucketed
+    width picked ON DEVICE by a lax.cond over the valid count (h/8, h/4,
+    h/2, h): compaction puts every valid slot in a front prefix, slots
+    past the prefix are invalid and score exactly -1.0, so a narrower
+    stage-1 padded with -1.0 is BIT-IDENTICAL to the full-width run —
+    while skipping the dead field-gather traffic that dominates stage 1
+    when the valid fraction is low (fixture chunks: ~26k valid in the
+    131072-slot compacted batch). `bucket_stage1=False` forces the
+    full-width stage 1 (used by the equivalence test)."""
     h_orig = transforms.shape[0]
     sel = None
     if compact_cap and h_orig > compact_cap:
@@ -159,11 +170,38 @@ def score_hybrid(
 
     stride = max(1, m // coarse_points)
     sub = slice(0, m, stride)
-    coarse = score_transforms_field(
-        transforms, valid, model_pos[sub], model_normal[sub], model_valid[sub],
-        field, scene_class_prob,
-        distance_threshold, normal_angle_threshold_deg,
-    )
+
+    def coarse_at(width):
+        c = score_transforms_field(
+            transforms[:width], valid[:width],
+            model_pos[sub], model_normal[sub], model_valid[sub],
+            field, scene_class_prob,
+            distance_threshold, normal_angle_threshold_deg,
+        )
+        if width == h:
+            return c
+        return jnp.concatenate(
+            [c, jnp.full((h - width,), -1.0, c.dtype)]
+        )
+
+    if bucket_stage1 and sel is not None and h >= 8192:
+        nv = jnp.sum(valid.astype(jnp.int32))
+        widths = [h // 8, h // 4, h // 2]
+
+        def pick(remaining):
+            if not remaining:
+                return coarse_at(h)
+            wd = remaining[0]
+            return jax.lax.cond(
+                nv <= wd,
+                lambda _: coarse_at(wd),
+                lambda _: pick(remaining[1:]),
+                None,
+            )
+
+        coarse = pick(widths)
+    else:
+        coarse = coarse_at(h)
 
     k_mid = min(h, max(refine_count, int(h * mid_fraction)))
     _t, mid_idx = jax.lax.top_k(coarse, k_mid)

@@ -210,10 +210,10 @@ def test_sorted_grouped_matches_ladder(monkeypatch):
     base-for-base: a base whose group stays inside its own tier is
     bit-identical to the ladder; a base escalated by a tier-straddling
     group is bit-identical to a ladder forced to run everything at the
-    escalated (top) cap. With max_pairs_per_bin=1024 there are exactly
-    two tiers (256 and top-1024), so those two references cover every
-    base — and totals/pair_counts are selection-independent and must
-    match the ladder everywhere.
+    escalated (top) cap. tier_plan is pinned to exactly two tiers (256
+    and top-1024) for every run here, so those two references cover
+    every base — and totals/pair_counts are selection-independent and
+    must match the ladder everywhere.
 
     seed 0 / (160 pts, tr 35, rot 10, 48 bases) is chosen so the sorted
     groups hit all three regimes — a fully-small group, a straddling
@@ -250,6 +250,13 @@ def test_sorted_grouped_matches_ladder(monkeypatch):
         jnp.asarray(bases), i1, i2, jnp.asarray(valid),
     )
     key = jax.random.PRNGKey(5)
+    # pin a two-tier plan (256 / top) so the two references below cover
+    # every base regardless of how many intermediate tiers production
+    # tier_plan grows (512/2048 were added for perf in round 3)
+    monkeypatch.setattr(
+        congruent, "tier_plan",
+        lambda p_cap: ([(256, None)], (p_cap, None)),
+    )
     grouped = congruent.extract_congruent_sets(key, *args, cfg_g)
     ladder = congruent.extract_congruent_sets(key, *args, cfg_l)
     # third reference: the ladder with its 256 tier removed, i.e. every
@@ -302,20 +309,16 @@ def test_tier_plan_shared_construction():
     then-extant partitioned executor broke output-identity for
     p_cap > 16384). tier_plan is the single source of truth; pin its
     shape at the boundary caps."""
-    assert congruent.tier_plan(1024) == ([(256, None)], (1024, None))
-    assert congruent.tier_plan(4096) == (
-        [(256, None), (1024, None)], (4096, None)
-    )
+    full = [(256, None), (512, None), (1024, None), (2048, None),
+            (4096, None)]
+    assert congruent.tier_plan(1024) == (full[:2], (1024, None))
+    assert congruent.tier_plan(4096) == (full[:4], (4096, None))
     # p_cap == 8192: top tier Q-blocks (monolithic top_qb uses >= 8192)
-    assert congruent.tier_plan(8192) == (
-        [(256, None), (1024, None), (4096, None)], (8192, 4096)
-    )
+    assert congruent.tier_plan(8192) == (full, (8192, 4096))
     assert congruent.tier_plan(16384) == (
-        [(256, None), (1024, None), (4096, None), (8192, 4096)],
-        (16384, 4096),
+        full + [(8192, 4096)], (16384, 4096)
     )
     # the ADVICE case: p_cap beyond 16384 gains no phantom 16384 tier
     assert congruent.tier_plan(20480) == (
-        [(256, None), (1024, None), (4096, None), (8192, 4096)],
-        (20480, 4096),
+        full + [(8192, 4096)], (20480, 4096)
     )

@@ -154,3 +154,38 @@ def test_hybrid_compaction_is_score_identical(rng):
     assert float(compact[5]) > 0
     # no invalid slot ever gets a real score
     assert (compact[~valid] == -1).all()
+
+
+def test_hybrid_stage1_bucketing_is_bit_identical(rng):
+    """When compaction engages, stage 1 runs at a device-picked bucketed
+    width (h/8, h/4, h/2, h by valid count). Compacted slots past the
+    valid prefix are invalid and score exactly -1.0, so every bucket must
+    reproduce the full-width ladder BIT-identically — across a sparse
+    batch (narrowest bucket), a dense one (falls through to full width),
+    and the boundary where nv lands just over a bucket edge."""
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grid = build_neighbor_grid(scene, cell_size=eps)
+    field = build_dense_field(scene, snrm, eps)
+    h = 16384
+    trs = np.tile(np.eye(4, dtype=np.float32), (h, 1, 1))
+    trs[:, :3, 3] = rng.normal(0, 0.05, (h, 3)).astype(np.float32)
+    trs = jnp.asarray(trs)
+    margs = (jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool))
+    sargs = (jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob))
+    kw = dict(coarse_points=64, mid_fraction=0.08, refine_count=32,
+              compact_cap=8192)  # compacted h = 8192 >= bucket floor
+    for nv_target in (500,       # <= h/8 = 1024: narrowest bucket
+                      1500,      # (h/8, h/4]: second bucket
+                      7000):     # > h/2: full-width fallthrough
+        valid = np.zeros(h, bool)
+        valid[rng.choice(h, nv_target, replace=False)] = True
+        bucketed = np.asarray(scoring.score_hybrid(
+            trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps,
+            30.0, **kw
+        ))
+        full = np.asarray(scoring.score_hybrid(
+            trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps,
+            30.0, bucket_stage1=False, **kw
+        ))
+        np.testing.assert_array_equal(bucketed, full)
