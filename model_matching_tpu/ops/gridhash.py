@@ -36,6 +36,18 @@ class NeighborGrid:
     cand_idx: jax.Array      # [C] i32 point indices
     max_probes: int = dataclasses.field(metadata=dict(static=True))
     cell_cap: int = dataclasses.field(metadata=dict(static=True))
+    # padded-payload fast path (see build_neighbor_grid): a dense
+    # cell -> compact-row map plus one [cell_cap, 8] f32 row per dilated
+    # cell (px py pz nx ny nz idx valid), so a restricted-NN query costs
+    # 2 row gathers instead of max_probes + 2 * cell_cap — the scan
+    # path's gather-issue rate (~64M rows/s on v5e, docs/RESULTS.md) is
+    # the whole cost of exact scoring. None when disabled or over the
+    # memory guards; queries then use the probe + scan path.
+    cell_map: jax.Array | None = None   # [prod(dims)] i32, -1 = empty
+    payload: jax.Array | None = None    # [U, cell_cap, 8] f32
+    has_normals: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 #: candidates further than this many cell-sizes from a cell center can never
@@ -44,8 +56,20 @@ class NeighborGrid:
 _BALL_SLACK = 1.0 + np.sqrt(3.0) / 2.0
 
 
+#: payload fast-path memory guards: skip the dense map when the grid has
+#: more cells than this (map = 4 bytes/cell), and skip the padded payload
+#: when it would exceed this many bytes — the probe + scan path still
+#: answers every query exactly, just slower.
+_MAX_MAP_CELLS = 1 << 26
+_MAX_PAYLOAD_BYTES = 512 << 20
+
+
 def build_neighbor_grid(
-    pos: np.ndarray, cell_size: float, cell_cap: int | None = None
+    pos: np.ndarray,
+    cell_size: float,
+    cell_cap: int | None = None,
+    normal: np.ndarray | None = None,
+    payload: bool = True,
 ) -> NeighborGrid:
     """Host-side build. `pos` [N, 3] float32 (no padding).
 
@@ -55,7 +79,13 @@ def build_neighbor_grid(
     and typically 4-6x shorter, which directly shortens the query's
     candidate scan. cell_cap=None (default) sizes the scan cap to the
     longest surviving list (exact, no truncation); an explicit cap bounds
-    memory and warns when it truncates."""
+    memory and warns when it truncates.
+
+    `payload=True` (default) additionally materializes the padded-row fast
+    path (see NeighborGrid.cell_map/payload): identical query results, one
+    aligned row gather per query instead of a probe loop + candidate scan.
+    Pass the matching `normal` array to bake per-candidate normals into
+    the payload so scorers skip the winner's normal gather too."""
     pos = np.asarray(pos, dtype=np.float32)
     n = pos.shape[0]
     lo = pos.min(axis=0) - cell_size
@@ -153,6 +183,34 @@ def build_neighbor_grid(
     cand_count = np.minimum(counts, cap)
     cand_offset = np.cumsum(cand_count) - cand_count
 
+    g_total = int(np.prod(dims))
+    pay = cmap = None
+    has_normals = False
+    if (
+        payload
+        and u
+        and n < (1 << 24)                      # point idx exact in f32
+        and g_total <= _MAX_MAP_CELLS
+        and u * cap * 32 <= _MAX_PAYLOAD_BYTES
+    ):
+        payf = np.zeros((u, cap, 8), np.float32)
+        payf[:, :, 0:3] = np.inf               # pad positions never win
+        payf[:, :, 6] = -1.0
+        rows_ = np.repeat(np.arange(u, dtype=np.int64), cand_count)
+        cols_ = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            cand_offset, cand_count
+        )
+        payf[rows_, cols_, 0:3] = pos[flat]
+        if normal is not None:
+            payf[rows_, cols_, 3:6] = np.asarray(normal, np.float32)[flat]
+            has_normals = True
+        payf[rows_, cols_, 6] = flat.astype(np.float32)
+        payf[rows_, cols_, 7] = 1.0
+        cmap_np = np.full(g_total, -1, np.int32)
+        cmap_np[dilated_keys] = np.arange(u, dtype=np.int32)
+        pay = jnp.asarray(payf)
+        cmap = jnp.asarray(cmap_np)
+
     table_idx, max_probes = _build_open_table(dilated_keys.astype(np.int32))
     t = table_idx.shape[0]
     table_keys = np.full(t, -1, dtype=np.int32)
@@ -173,6 +231,38 @@ def build_neighbor_grid(
         cand_idx=jnp.asarray(flat.astype(np.int32)),
         max_probes=int(max_probes),
         cell_cap=int(cap),
+        cell_map=cmap,
+        payload=pay,
+        has_normals=has_normals,
+    )
+
+
+def _query_payload(grid: NeighborGrid, points: jax.Array, radius):
+    """Fast-path restricted NN: one map gather + one padded-row gather per
+    query. Candidate order inside a payload row equals the scan path's
+    candidate list order and d2 is the same elementwise expression with
+    the same first-minimum tie-break, so winners match the probe + scan
+    path (d2 may differ in the final ULP from XLA fusion/FMA). Returns
+    (idx, sqdist, k, pay) where k/pay let callers read more of the
+    winner's row (e.g. its baked normal)."""
+    ijk = jnp.floor((points - grid.origin) / grid.cell_size).astype(jnp.int32)
+    in_grid = ((ijk >= 0) & (ijk < grid.dims)).all(axis=-1)
+    flat = (ijk[..., 0] * grid.dims[1] + ijk[..., 1]) * grid.dims[2] + ijk[..., 2]
+    rid = grid.cell_map[jnp.clip(flat, 0, grid.cell_map.shape[0] - 1)]
+    rid = jnp.where(in_grid, rid, -1)
+    pay = grid.payload[jnp.maximum(rid, 0)]        # [..., cap, 8]
+    d2 = jnp.sum((points[..., None, :] - pay[..., 0:3]) ** 2, axis=-1)
+    live = (rid >= 0)[..., None] & (pay[..., 7] > 0)
+    d2 = jnp.where(live, d2, jnp.inf)
+    k = jnp.argmin(d2, axis=-1)
+    best_d2 = jnp.take_along_axis(d2, k[..., None], axis=-1)[..., 0]
+    idx = jnp.take_along_axis(pay[..., 6], k[..., None], axis=-1)[..., 0]
+    ok = best_d2 <= radius * radius
+    return (
+        jnp.where(ok, idx.astype(jnp.int32), -1),
+        jnp.where(ok, best_d2, jnp.inf),
+        k,
+        pay,
     )
 
 
@@ -185,6 +275,9 @@ def query_restricted_nn(
     """Nearest target index within `radius` per query (or -1), matching the
     kd-tree's <=-radius semantics (kdtree.h:424 keeps sqdist <= bound).
     Returns (index [...], sqdist [...])."""
+    if grid.payload is not None:
+        idx, d2, _k, _pay = _query_payload(grid, points, radius)
+        return idx, d2
     ijk = jnp.floor((points - grid.origin) / grid.cell_size).astype(jnp.int32)
     in_grid = ((ijk >= 0) & (ijk < grid.dims)).all(axis=-1)
     key = (ijk[..., 0] * grid.dims[1] + ijk[..., 1]) * grid.dims[2] + ijk[..., 2]
@@ -231,3 +324,27 @@ def query_restricted_nn(
         0, grid.cell_cap, scan_body, (best_d2, best_idx)
     )
     return best_idx, best_d2
+
+
+def query_restricted_nn_normal(
+    grid: NeighborGrid,
+    points: jax.Array,       # [..., 3] query positions
+    target_pos: jax.Array,   # [S, 3]
+    target_normal: jax.Array,  # [S, 3]
+    radius,
+):
+    """query_restricted_nn plus the winner's normal (the scorer's gate
+    input, stocs.cpp:1026-1032). With a normal-baked payload the normal
+    comes from the winner's padded row — no [.., 3] row gather; otherwise
+    it is gathered from target_normal at the (clamped) winner index. The
+    normal at idx == -1 slots is target_normal[0] / the clamped row —
+    callers gate on idx >= 0 before using it."""
+    if grid.payload is not None and grid.has_normals:
+        idx, d2, k, pay = _query_payload(grid, points, radius)
+        nrm = jnp.take_along_axis(
+            pay[..., 3:6], k[..., None, None], axis=-2
+        )[..., 0, :]
+        return idx, d2, nrm
+    idx, d2 = query_restricted_nn(grid, points, target_pos, radius)
+    nrm = target_normal[jnp.maximum(idx, 0)]
+    return idx, d2, nrm

@@ -196,7 +196,8 @@ def load_scene_multi(
     host_pos = np.asarray(out["pos"])
     host_valid = np.asarray(out["valid"])
     grid = build_neighbor_grid(
-        host_pos[host_valid], cell_size=cfg.distance_threshold
+        host_pos[host_valid], cell_size=cfg.distance_threshold,
+        normal=np.asarray(out["normal"])[host_valid],
     )
     field = build_dense_field(
         host_pos[host_valid], np.asarray(out["normal"])[host_valid],

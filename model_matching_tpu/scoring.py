@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .ops.densefield import DenseField, field_lookup
-from .ops.gridhash import NeighborGrid, query_restricted_nn
+from .ops.gridhash import NeighborGrid, query_restricted_nn_normal
 
 _DEG2RAD = jnp.pi / 180.0
 
@@ -88,11 +88,13 @@ def score_transforms(
         rot = tr[:, :3, :3]
         t = tr[:, :3, 3]
         q = jnp.einsum("hij,mj->hmi", rot, model_pos) + t[:, None, :]
-        idx, _d2 = query_restricted_nn(grid, q, scene_pos, distance_threshold)
+        idx, _d2, cand_nrm = query_restricted_nn_normal(
+            grid, q, scene_pos, scene_normal, distance_threshold
+        )
         found = idx >= 0
         safe = jnp.maximum(idx, 0)
         nq = jnp.einsum("hij,mj->hmi", rot, model_normal)
-        cos = jnp.sum(scene_normal[safe] * nq, axis=-1)
+        cos = jnp.sum(cand_nrm * nq, axis=-1)
         # reference gate: acos(dot)*180/pi < 30 (stocs.cpp:1028-1032);
         # equivalent to dot > cos(30 deg) for dot in [-1, 1]
         w = jnp.where(

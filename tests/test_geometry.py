@@ -155,3 +155,49 @@ def test_grid_nn_matches_bruteforce(rng):
     same = idx[inside] == want_idx[inside]
     close = np.abs(d2[inside] - want_d2[inside]) < 1e-10
     assert (same | close).all()
+
+
+def test_grid_nn_payload_matches_scan_path(rng):
+    """The padded-payload fast path must return the same winners as the
+    probe + scan path — same candidate order, same first-minimum
+    tie-break — with d2 equal up to XLA fusion (FMA) in the last ULP
+    (gridhash._query_payload docstring)."""
+    scene = rng.uniform(-0.3, 0.3, size=(500, 3)).astype(np.float32)
+    normal = rng.normal(size=(500, 3)).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    fast = gridhash.build_neighbor_grid(scene, cell_size=0.05, normal=normal)
+    slow = gridhash.build_neighbor_grid(scene, cell_size=0.05, payload=False)
+    assert fast.payload is not None and fast.has_normals
+    assert slow.payload is None
+
+    # in-grid, out-of-grid, and exactly-on-boundary queries
+    queries = np.concatenate(
+        [
+            rng.uniform(-0.35, 0.35, size=(400, 3)),
+            rng.uniform(-2.0, 2.0, size=(50, 3)),
+            scene[:50],  # d2 == 0 exact hits
+        ]
+    ).astype(np.float32)
+    qi = jnp.asarray(queries)
+    si = jnp.asarray(scene)
+    for radius in (0.05, 0.02):
+        fi, fd = gridhash.query_restricted_nn(fast, qi, si, radius)
+        wi, wd = gridhash.query_restricted_nn(slow, qi, si, radius)
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(wi))
+        np.testing.assert_allclose(
+            np.asarray(fd), np.asarray(wd), rtol=1e-6
+        )
+
+    # normal variant: payload-baked normals equal gathered ones wherever
+    # a neighbor was found
+    fi, fd, fn = gridhash.query_restricted_nn_normal(
+        fast, qi, si, jnp.asarray(normal), 0.05
+    )
+    wi, wd, wn = gridhash.query_restricted_nn_normal(
+        slow, qi, si, jnp.asarray(normal), 0.05
+    )
+    found = np.asarray(fi) >= 0
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(wi))
+    np.testing.assert_array_equal(
+        np.asarray(fn)[found], np.asarray(wn)[found]
+    )
