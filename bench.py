@@ -78,6 +78,8 @@ def main():
             scene.grid, scene.pos, scene.normal, scene.class_prob,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
+            # bound the payload-gather transient [chunk, M, cell_cap, 8]
+            chunk=4096,
         )
 
     def timed(fn, arg, n_items, iters):

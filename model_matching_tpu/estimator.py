@@ -163,10 +163,12 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
             scene.grid, scene.pos, scene.normal, class_prob,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
-            # bound the [chunk, M, 3] transformed-cloud intermediate: at
-            # sweep scale (e.g. 2048 bases x 200 sets = 409600 slots) the
-            # unchunked program would materialize ~100 GB and OOM the chip
-            chunk=8192,
+            # bound the per-chunk intermediates: at sweep scale (e.g. 2048
+            # bases x 200 sets = 409600 slots) the unchunked program would
+            # materialize ~100 GB and OOM the chip; with the payload fast
+            # path the hot transient is [chunk, M, cell_cap, 8] f32
+            # (~1.5 GB at 4096 on the YCB fixture, cell_cap 24)
+            chunk=4096,
         )
     idx, best = scoring.best_pose(scores)
     return scores, idx, best
