@@ -189,3 +189,41 @@ def test_hybrid_stage1_bucketing_is_bit_identical(rng):
             30.0, bucket_stage1=False, **kw
         ))
         np.testing.assert_array_equal(bucketed, full)
+
+
+def test_exact_scorer_payload_on_off_equal(rng):
+    """score_transforms must return the same scores whether the grid uses
+    the padded-payload fast path (with or without baked normals) or the
+    probe + scan path — winners are identical, so scores differ at most
+    by f32 summation of the same terms."""
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    grids = {
+        "payload+normals": build_neighbor_grid(
+            scene, cell_size=eps, normal=snrm
+        ),
+        "payload": build_neighbor_grid(scene, cell_size=eps),
+        "scan": build_neighbor_grid(scene, cell_size=eps, payload=False),
+    }
+    trs = [np.eye(4, dtype=np.float32)]
+    for _ in range(7):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = rng.normal(0, 0.02, 3)
+        trs.append(t)
+    trs = jnp.asarray(np.stack(trs))
+    args = (
+        trs, jnp.ones(trs.shape[0], bool),
+        jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool),
+    )
+    tail = (jnp.asarray(scene), jnp.asarray(snrm), jnp.asarray(sprob),
+            eps, 30.0)
+    scores = {
+        name: np.asarray(scoring.score_transforms(*args, g, *tail))
+        for name, g in grids.items()
+    }
+    np.testing.assert_allclose(
+        scores["payload+normals"], scores["scan"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        scores["payload"], scores["scan"], rtol=1e-6
+    )
