@@ -110,7 +110,6 @@ def extract_congruent_sets(
     stocs_match_one_object.cpp:126-143; tests/test_congruent.py pins the
     set-level equivalence)."""
     center, ratio = _unit_cube_params(model_pos)
-    unit_pos = (model_pos - center) / ratio + 0.5
 
     # grid resolution: power-of-two cell matching the reference's
     # IndexedNormalSet constructor (normalset.h:114-122): egSize =
@@ -149,13 +148,17 @@ def extract_congruent_sets(
         )
 
         def seg_points(pairs, inv):
-            a = unit_pos[pairs[:, 0]]
-            bb = unit_pos[pairs[:, 1]]
-            e_unit = a + inv * (bb - a)
+            # the unit-cube map is affine (uniform scale + shift), so the
+            # unit-space interpolant and the pair direction both derive
+            # from the world-space endpoints — halving the row gathers per
+            # pair (the reference interpolates normalized points,
+            # pairCreationFunctor.h:71-75 + stocs.cpp:808-818; equal up to
+            # f32 association, i.e. a possible last-ULP cell-edge flip)
             aw = model_pos[pairs[:, 0]]
             bw = model_pos[pairs[:, 1]]
             e_world = aw + inv * (bw - aw)
-            dirs = bb - a
+            e_unit = (e_world - center) / ratio + 0.5
+            dirs = bw - aw
             dirs = dirs / jnp.maximum(
                 jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
             )
