@@ -500,7 +500,7 @@ class StocsEstimator:
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
         t_start = time.perf_counter()
         bits = None if use_instance else self.exists_bits()
-        n_unconverged = 0
+        unconverged = []  # device-side per chunk; summed after the loop
         for ci in range(n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
@@ -515,7 +515,9 @@ class StocsEstimator:
                 # thread the decay: the next chunk samples (and this chunk
                 # scores) under the prior every previous base already decayed
                 self.class_prob = inst.class_prob
-                n_unconverged += int(jnp.sum(~inst.fill_converged))
+                # device-side: an int() here would sync the host loop per
+                # chunk and stall dispatch pipelining (cf. chunk_valid)
+                unconverged.append(jnp.sum(~inst.fill_converged))
             else:
                 bases = _phase_sample(
                     k_sample, self.model.table, self.scene.pos,
@@ -540,6 +542,7 @@ class StocsEstimator:
             # device-side count: converting per chunk would sync the host
             # loop and stall dispatch pipelining
             chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
+        n_unconverged = int(jnp.stack(unconverged).sum()) if unconverged else 0
         if n_unconverged:
             from .utils.log import warn
 
