@@ -63,7 +63,9 @@ def main():
         return scoring.score_hybrid(
             transforms, valid, model.pos, model.normal, model.valid,
             scene.field, scene.grid, scene.pos, scene.normal,
-            scene.class_prob,
+            # baked-prob route (class path): weights come from the field
+            # rows / payload slots — exactly what the estimator does
+            None,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
         )
@@ -75,7 +77,7 @@ def main():
     def run_exact(transforms):
         return scoring.score_transforms(
             transforms, valid_exact, model.pos, model.normal, model.valid,
-            scene.grid, scene.pos, scene.normal, scene.class_prob,
+            scene.grid, scene.pos, scene.normal, None,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
             # bound the payload-gather transient [chunk, M, cell_cap, 8]

@@ -286,6 +286,22 @@ class StocsEstimator:
         self.seg_masks = None
         self._exists_bits = None
 
+    def _score_prob(self):
+        """class_prob argument for the SCORING phases: None when the baked
+        field/payload weights apply — i.e. the probability vector is still
+        the pristine one the scene structures were built with (class path;
+        the instance path reassigns self.class_prob with decayed copies).
+        Scorers given None read the weight from the field row / payload
+        slot and skip the [H, M] prob gathers."""
+        s = self.scene
+        if (
+            self.class_prob is s.class_prob
+            and s.field.has_probs
+            and s.grid.has_probs
+        ):
+            return None
+        return self.class_prob
+
     def exists_bits(self):
         """Lazily build the bit-packed pair-existence matrix; pays one
         O(N^2) pass, then every sampling round's PPF mask is a row gather.
@@ -394,7 +410,8 @@ class StocsEstimator:
 
         t0 = time.perf_counter()
         scores, idx, best = _phase_score(
-            poses, self.model, self.scene, self.class_prob, cfg, coarse_to_fine
+            poses, self.model, self.scene, self._score_prob(), cfg,
+            coarse_to_fine,
         )
         scores = jax.block_until_ready(scores)
         timings["scoring"] = time.perf_counter() - t0
@@ -418,7 +435,7 @@ class StocsEstimator:
             t0 = time.perf_counter()
             refined, new_lcp = _phase_refine(
                 jnp.asarray(best_t), self.model, self.scene,
-                self.class_prob, cfg,
+                self._score_prob(), cfg,
             )
             refined = jax.block_until_ready(refined)
             new_lcp = float(new_lcp)
@@ -532,7 +549,7 @@ class StocsEstimator:
                 self.model.centroid, bases, sets,
             )
             scores, _i, _b = _phase_score(
-                poses, self.model, self.scene, self.class_prob, cfg, True
+                poses, self.model, self.scene, self._score_prob(), cfg, True
             )
             kp = keep_per_chunk or scores.shape[0]
             top, idx = jax.lax.top_k(scores, min(kp, scores.shape[0]))
@@ -568,7 +585,7 @@ class StocsEstimator:
         return finish_sweep_pool(
             jnp.concatenate(pool_s), jnp.concatenate(pool_t),
             jnp.concatenate(pool_w),
-            self.model, self.scene, self.class_prob, cfg,
+            self.model, self.scene, self._score_prob(), cfg,
             total_bases=total_bases, n_hyp_total=n_hyp_total,
             t_start=t_start, verbose=verbose,
         )
@@ -590,7 +607,7 @@ class StocsEstimator:
         needs_fill = bool(jnp.any(poses.valid & (lcp < 0)))
         if needs_fill:
             field_scores = _phase_field_scores(
-                poses, self.model, self.scene, self.class_prob, cfg
+                poses, self.model, self.scene, self._score_prob(), cfg
             )
             lcp = jnp.where(lcp >= 0, lcp, field_scores)
             poses = dataclasses.replace(poses, lcp=lcp)

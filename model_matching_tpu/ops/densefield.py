@@ -37,14 +37,25 @@ _SLACK = 1.0 + np.sqrt(3.0) / 2.0
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DenseField:
-    rows: jax.Array    # [G, 8] f32: px py pz nx ny nz idx occupied
+    rows: jax.Array    # [G, 8] f32: px py pz nx ny nz idx occupancy/prob
     origin: jax.Array  # [3]
     dims: jax.Array    # [3] i32
     cell: jax.Array    # [] f32 (= eps)
+    # slot 7 semantics: without baked probs it is the occupancy flag
+    # (1 occupied / 0 empty); with them it holds the candidate's class
+    # probability (>= 0) and -1 marks empty cells — scorers that receive
+    # scene_class_prob=None read the weight straight from the row instead
+    # of a second [H, M] prob gather (half of stage 1's gather traffic).
+    # Only valid for the UNDECAYED prob vector the field was built with;
+    # the instance path's decayed copies must keep gathering.
+    has_probs: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 def build_dense_field(
-    pos: np.ndarray, normal: np.ndarray, eps: float
+    pos: np.ndarray, normal: np.ndarray, eps: float,
+    prob: np.ndarray | None = None,
 ) -> DenseField:
     pos = np.asarray(pos, np.float32)
     normal = np.asarray(normal, np.float32)
@@ -92,23 +103,30 @@ def build_dense_field(
     rows[win_cell, 0:3] = pos[win_point]
     rows[win_cell, 3:6] = normal[win_point]
     rows[win_cell, 6] = win_point.astype(np.float32)
-    rows[win_cell, 7] = 1.0
+    if prob is None:
+        rows[win_cell, 7] = 1.0
+    else:
+        rows[:, 7] = -1.0
+        rows[win_cell, 7] = np.asarray(prob, np.float32)[win_point]
 
     return DenseField(
         rows=jnp.asarray(rows),
         origin=jnp.asarray(lo),
         dims=jnp.asarray(dims.astype(np.int32)),
         cell=jnp.asarray(np.float32(eps)),
+        has_probs=prob is not None,
     )
 
 
 def field_lookup(field: DenseField, points: jax.Array):
     """[..., 3] query positions -> (cand_pos [..., 3], cand_normal [..., 3],
-    cand_idx [...] i32, occupied [...] bool)."""
+    cand_idx [...] i32, occupied [...] bool, slot7 [...] f32 — the
+    occupancy flag, or the baked class probability when field.has_probs)."""
     ijk = jnp.floor((points - field.origin) / field.cell).astype(jnp.int32)
     inb = ((ijk >= 0) & (ijk < field.dims)).all(axis=-1)
     flat = (ijk[..., 0] * field.dims[1] + ijk[..., 1]) * field.dims[2] + ijk[..., 2]
     flat = jnp.clip(flat, 0, field.rows.shape[0] - 1)
     row = field.rows[flat]
-    occupied = inb & (row[..., 7] > 0)
-    return row[..., 0:3], row[..., 3:6], row[..., 6].astype(jnp.int32), occupied
+    s7 = row[..., 7]
+    occupied = inb & (s7 >= 0 if field.has_probs else s7 > 0)
+    return row[..., 0:3], row[..., 3:6], row[..., 6].astype(jnp.int32), occupied, s7

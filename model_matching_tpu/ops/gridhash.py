@@ -48,6 +48,13 @@ class NeighborGrid:
     has_normals: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    # payload slot 7 holds the candidate's class probability when built
+    # with `prob` (scorers skip the winner-prob gather; only valid for the
+    # undecayed vector the grid was built with), else a 1.0 validity
+    # placeholder. Candidate validity is always slot 6 (idx) >= 0.
+    has_probs: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 #: candidates further than this many cell-sizes from a cell center can never
@@ -69,6 +76,7 @@ def build_neighbor_grid(
     cell_size: float,
     cell_cap: int | None = None,
     normal: np.ndarray | None = None,
+    prob: np.ndarray | None = None,
     payload: bool = True,
 ) -> NeighborGrid:
     """Host-side build. `pos` [N, 3] float32 (no padding).
@@ -205,7 +213,9 @@ def build_neighbor_grid(
             payf[rows_, cols_, 3:6] = np.asarray(normal, np.float32)[flat]
             has_normals = True
         payf[rows_, cols_, 6] = flat.astype(np.float32)
-        payf[rows_, cols_, 7] = 1.0
+        payf[rows_, cols_, 7] = (
+            1.0 if prob is None else np.asarray(prob, np.float32)[flat]
+        )
         cmap_np = np.full(g_total, -1, np.int32)
         cmap_np[dilated_keys] = np.arange(u, dtype=np.int32)
         pay = jnp.asarray(payf)
@@ -234,6 +244,7 @@ def build_neighbor_grid(
         cell_map=cmap,
         payload=pay,
         has_normals=has_normals,
+        has_probs=pay is not None and prob is not None,
     )
 
 
@@ -252,7 +263,7 @@ def _query_payload(grid: NeighborGrid, points: jax.Array, radius):
     rid = jnp.where(in_grid, rid, -1)
     pay = grid.payload[jnp.maximum(rid, 0)]        # [..., cap, 8]
     d2 = jnp.sum((points[..., None, :] - pay[..., 0:3]) ** 2, axis=-1)
-    live = (rid >= 0)[..., None] & (pay[..., 7] > 0)
+    live = (rid >= 0)[..., None] & (pay[..., 6] >= 0)
     d2 = jnp.where(live, d2, jnp.inf)
     k = jnp.argmin(d2, axis=-1)
     best_d2 = jnp.take_along_axis(d2, k[..., None], axis=-1)[..., 0]
@@ -348,3 +359,26 @@ def query_restricted_nn_normal(
     idx, d2 = query_restricted_nn(grid, points, target_pos, radius)
     nrm = target_normal[jnp.maximum(idx, 0)]
     return idx, d2, nrm
+
+
+def query_restricted_nn_scored(
+    grid: NeighborGrid,
+    points: jax.Array,   # [..., 3] query positions
+    radius,
+):
+    """query_restricted_nn plus the winner's baked normal AND class
+    probability, entirely from the payload row — zero extra gathers per
+    query. Requires a payload built with both `normal` and `prob`
+    (grid.has_normals and grid.has_probs); callers gate the returned
+    normal/prob on idx >= 0."""
+    if grid.payload is None or not (grid.has_normals and grid.has_probs):
+        raise ValueError(
+            "query_restricted_nn_scored needs a payload grid built with "
+            "normal= and prob= (see build_neighbor_grid)"
+        )
+    idx, d2, k, pay = _query_payload(grid, points, radius)
+    nrm = jnp.take_along_axis(
+        pay[..., 3:6], k[..., None, None], axis=-2
+    )[..., 0, :]
+    prob = jnp.take_along_axis(pay[..., 7], k[..., None], axis=-1)[..., 0]
+    return idx, d2, nrm, prob

@@ -195,13 +195,24 @@ def load_scene_multi(
         )
     host_pos = np.asarray(out["pos"])
     host_valid = np.asarray(out["valid"])
+    # bake object-0 class probabilities into the scoring structures only
+    # when that is unambiguous (single probability map): scorers may then
+    # be called with scene_class_prob=None to skip the prob gathers.
+    # Multi-object scenes score each object with its own prob vector, and
+    # the instance path scores with decayed copies — both keep gathering.
+    host_prob = (
+        np.asarray(out["class_prob"][0])[host_valid]
+        if len(class_prob_paths) == 1 else None
+    )
     grid = build_neighbor_grid(
         host_pos[host_valid], cell_size=cfg.distance_threshold,
         normal=np.asarray(out["normal"])[host_valid],
+        prob=host_prob,
     )
     field = build_dense_field(
         host_pos[host_valid], np.asarray(out["normal"])[host_valid],
         cfg.distance_threshold,
+        prob=host_prob,
     )
     icp_grid = build_neighbor_grid(
         host_pos[host_valid], cell_size=cfg.icp_max_corr_dist

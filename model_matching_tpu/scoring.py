@@ -20,7 +20,11 @@ import jax
 import jax.numpy as jnp
 
 from .ops.densefield import DenseField, field_lookup
-from .ops.gridhash import NeighborGrid, query_restricted_nn_normal
+from .ops.gridhash import (
+    NeighborGrid,
+    query_restricted_nn_normal,
+    query_restricted_nn_scored,
+)
 
 _DEG2RAD = jnp.pi / 180.0
 
@@ -39,23 +43,36 @@ def score_transforms_field(
 ) -> jax.Array:
     """Fast-path weighted LCP via the dense NN field: one aligned row gather
     per (hypothesis, model point). Same gates as score_transforms, with the
-    candidate chosen per-cell (see ops/densefield.py docstring)."""
+    candidate chosen per-cell (see ops/densefield.py docstring).
+
+    `scene_class_prob=None` reads the weight from the field row itself
+    (requires a field built with `prob=`; valid only for the undecayed
+    prob vector it was built with) — dropping the second [H, M] gather."""
     cos_gate = jnp.cos(normal_angle_threshold_deg * _DEG2RAD)
     if model_count is None:
         model_count = jnp.sum(model_valid.astype(jnp.float32))
     rot = transforms[:, :3, :3]
     t = transforms[:, :3, 3]
     q = jnp.einsum("hij,mj->hmi", rot, model_pos) + t[:, None, :]
-    cand_pos, cand_nrm, cand_idx, occ = field_lookup(field, q)
+    cand_pos, cand_nrm, cand_idx, occ, s7 = field_lookup(field, q)
     d2 = jnp.sum((q - cand_pos) ** 2, axis=-1)
     nq = jnp.einsum("hij,mj->hmi", rot, model_normal)
     cos = jnp.sum(cand_nrm * nq, axis=-1)
+    if scene_class_prob is None:
+        if not field.has_probs:
+            raise ValueError(
+                "scene_class_prob=None needs a field built with prob= "
+                "(see ops/densefield.build_dense_field)"
+            )
+        pw = jnp.maximum(s7, 0.0)
+    else:
+        pw = scene_class_prob[cand_idx]
     w = jnp.where(
         occ
         & (d2 <= distance_threshold * distance_threshold)
         & (cos > cos_gate)
         & model_valid[None, :],
-        scene_class_prob[cand_idx],
+        pw,
         0.0,
     )
     scores = jnp.sum(w, axis=-1) / jnp.maximum(model_count, 1.0)
@@ -79,7 +96,11 @@ def score_transforms(
 ) -> jax.Array:
     """Weighted LCP per transform: sum of matched scene class probabilities /
     |M| (reference: src/stocs.cpp:1006-1041). model_count overrides the
-    divisor (the true |M| when model arrays are padded)."""
+    divisor (the true |M| when model arrays are padded).
+
+    `scene_class_prob=None` reads the winner's weight from the payload row
+    (requires a grid built with normal= and prob=; valid only for the
+    undecayed prob vector it was built with) — no prob/normal gathers."""
     cos_gate = jnp.cos(normal_angle_threshold_deg * _DEG2RAD)
     if model_count is None:
         model_count = jnp.sum(model_valid.astype(jnp.float32))
@@ -88,18 +109,26 @@ def score_transforms(
         rot = tr[:, :3, :3]
         t = tr[:, :3, 3]
         q = jnp.einsum("hij,mj->hmi", rot, model_pos) + t[:, None, :]
-        idx, _d2, cand_nrm = query_restricted_nn_normal(
-            grid, q, scene_pos, scene_normal, distance_threshold
-        )
+        if scene_class_prob is None:
+            # baked route: winner normal AND prob from the payload row
+            # (valid only for the undecayed probs the grid was built with)
+            idx, _d2, cand_nrm, wprob = query_restricted_nn_scored(
+                grid, q, distance_threshold
+            )
+            wprob = jnp.maximum(wprob, 0.0)
+        else:
+            idx, _d2, cand_nrm = query_restricted_nn_normal(
+                grid, q, scene_pos, scene_normal, distance_threshold
+            )
+            wprob = scene_class_prob[jnp.maximum(idx, 0)]
         found = idx >= 0
-        safe = jnp.maximum(idx, 0)
         nq = jnp.einsum("hij,mj->hmi", rot, model_normal)
         cos = jnp.sum(cand_nrm * nq, axis=-1)
         # reference gate: acos(dot)*180/pi < 30 (stocs.cpp:1028-1032);
         # equivalent to dot > cos(30 deg) for dot in [-1, 1]
         w = jnp.where(
             found & (cos > cos_gate) & model_valid[None, :],
-            scene_class_prob[safe],
+            wprob,
             0.0,
         )
         return jnp.sum(w, axis=-1) / jnp.maximum(model_count, 1.0)

@@ -47,7 +47,7 @@ def test_field_cell_candidates_are_nearest(rng):
 
     # lookups route to the right cells
     q = scene[:50] + rng.normal(0, 0.001, (50, 3)).astype(np.float32)
-    cp, cn, ci, occq = field_lookup(f, jnp.asarray(q))
+    cp, cn, ci, occq, _s7 = field_lookup(f, jnp.asarray(q))
     assert np.asarray(occq).all()
     d2 = ((q - np.asarray(cp)) ** 2).sum(1)
     assert (d2 <= (eps * 1.2) ** 2).all()

@@ -227,3 +227,43 @@ def test_exact_scorer_payload_on_off_equal(rng):
     np.testing.assert_allclose(
         scores["payload"], scores["scan"], rtol=1e-6
     )
+
+    # baked-prob route: weights read from the payload rows must equal the
+    # gathered route exactly (same winners, same prob values)
+    baked = build_neighbor_grid(
+        scene, cell_size=eps, normal=snrm, prob=sprob
+    )
+    assert baked.has_probs
+    got = np.asarray(scoring.score_transforms(
+        *args, baked, jnp.asarray(scene), jnp.asarray(snrm), None,
+        eps, 30.0,
+    ))
+    np.testing.assert_allclose(got, scores["scan"], rtol=1e-6)
+
+
+def test_field_scorer_baked_probs_equal(rng):
+    """score_transforms_field with scene_class_prob=None (prob baked into
+    the field rows) must equal the gathered route exactly."""
+    scene, snrm, sprob, mpos, mnrm = _setup(rng)
+    eps = 0.01
+    plain = build_dense_field(scene, snrm, eps)
+    baked = build_dense_field(scene, snrm, eps, prob=sprob)
+    assert baked.has_probs and not plain.has_probs
+    trs = [np.eye(4, dtype=np.float32)]
+    for _ in range(7):
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = rng.normal(0, 0.02, 3)
+        trs.append(t)
+    trs = jnp.asarray(np.stack(trs))
+    args = (
+        trs, jnp.ones(trs.shape[0], bool),
+        jnp.asarray(mpos), jnp.asarray(mnrm), jnp.ones(len(mpos), bool),
+    )
+    want = np.asarray(scoring.score_transforms_field(
+        *args, plain, jnp.asarray(sprob), eps, 30.0,
+    ))
+    got = np.asarray(scoring.score_transforms_field(
+        *args, baked, None, eps, 30.0,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert want[0] > 0.2  # identity is a real match
