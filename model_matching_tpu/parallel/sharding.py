@@ -127,10 +127,18 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
     world = fits["world_transform"].reshape(-1, 4, 4)
 
     mc = jnp.sum(model.valid.astype(jnp.float32))
+    # the sharded programs always score with the pristine scene.class_prob
+    # (edge-mapped scenes are refused upstream), so when the structures
+    # carry baked probs the scorers skip the prob gathers — same values
+    sp = (
+        None
+        if scene.field.has_probs and scene.grid.has_probs
+        else class_prob
+    )
     if coarse_to_fine:
         scores = scoring.score_hybrid(
             transforms, valid, model.pos, model.normal, model.valid,
-            scene.field, scene.grid, scene.pos, scene.normal, class_prob,
+            scene.field, scene.grid, scene.pos, scene.normal, sp,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
             compact_cap=cfg.score_compact_cap,
@@ -138,7 +146,7 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
     else:
         scores = scoring.score_transforms(
             transforms, valid, model.pos, model.normal, model.valid,
-            scene.grid, scene.pos, scene.normal, class_prob,
+            scene.grid, scene.pos, scene.normal, sp,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
         )
