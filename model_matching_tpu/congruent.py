@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .config import MatchConfig
 from .ops.ppf import ppf_bins
-from .ppf_table import PPFTable, gather_pairs, lookup_pair_range
+from .ppf_table import PPFTable, gather_pair_srcs, lookup_pair_range
 
 
 # smallest pair cap routed to the Pallas gate kernel (see match_block)
@@ -88,6 +88,7 @@ def extract_congruent_sets(
     invariant2: jax.Array,    # [B]
     base_valid: jax.Array,    # [B]
     cfg: MatchConfig,
+    pair_ep: jax.Array | None = None,  # [total_pairs, 6] ModelPack.pair_ep
 ) -> CongruentSets:
     """Dispatch: with `cfg.congruent_sorted_groups = G > 1` (default 8)
     bases are argsorted by pair-bin size ON DEVICE and processed G at a
@@ -147,20 +148,26 @@ def extract_congruent_sets(
             * (d23 / jnp.maximum(jnp.linalg.norm(d23), 1e-30))
         )
 
-        def seg_points(pairs, inv):
+        def seg_points(src, inv):
             # the unit-cube map is affine (uniform scale + shift), so the
             # unit-space interpolant and the pair direction both derive
-            # from the world-space endpoints — halving the row gathers per
-            # pair (the reference interpolates normalized points,
-            # pairCreationFunctor.h:71-75 + stocs.cpp:808-818; equal up to
-            # f32 association, i.e. a possible last-ULP cell-edge flip)
-            aw = model_pos[pairs[:, 0]]
-            bw = model_pos[pairs[:, 1]]
-            e_world = aw + inv * (bw - aw)
+            # from the world-space endpoints (the reference interpolates
+            # normalized points, pairCreationFunctor.h:71-75 +
+            # stocs.cpp:808-818; equal up to f32 association, i.e. a
+            # possible last-ULP cell-edge flip). With ModelPack.pair_ep
+            # the (a, b - a) endpoint row is one 24-byte gather per pair;
+            # the fallback gathers pair indices + two position rows.
+            if pair_ep is not None:
+                ep = pair_ep[src]
+                aw, d = ep[:, 0:3], ep[:, 3:6]
+            else:
+                pr = table.pairs[src]
+                aw = model_pos[pr[:, 0]]
+                d = model_pos[pr[:, 1]] - aw
+            e_world = aw + inv * d
             e_unit = (e_world - center) / ratio + 0.5
-            dirs = bw - aw
-            dirs = dirs / jnp.maximum(
-                jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-30
+            dirs = d / jnp.maximum(
+                jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30
             )
             return e_unit, e_world, dirs
 
@@ -182,10 +189,10 @@ def extract_congruent_sets(
             intermediate."""
             qb = q_block or cap
             nb = cap // qb
-            p_pairs, p_ok, _pt = gather_pairs(table, off1, cnt1, cap)
-            q_pairs, q_ok, _qt = gather_pairs(table, off2, cnt2, cap)
+            p_src, p_ok, _pt = gather_pair_srcs(table, off1, cnt1, cap)
+            q_src, q_ok, _qt = gather_pair_srcs(table, off2, cnt2, cap)
 
-            e1_unit, e1_world, n1 = seg_points(p_pairs, inv1)
+            e1_unit, e1_world, n1 = seg_points(p_src, inv1)
             cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
             # pack the 3 cell coordinates into one int so equality is a
             # single [P, Q] compare (eg_size <= 1024 always: unit cube /
@@ -244,7 +251,7 @@ def extract_congruent_sets(
             if use_pallas:
                 from .ops import pallas_congruent as pc
 
-                e2_unit, e2_world, n2 = seg_points(q_pairs, inv2)
+                e2_unit, e2_world, n2 = seg_points(q_src, inv2)
                 cell2p = pack(
                     jnp.floor(e2_unit * eg_size).astype(jnp.int32)
                 )
@@ -292,8 +299,8 @@ def extract_congruent_sets(
                 # fall through to the shared top_k/decode tail below
 
             def one_block(blk):
-                bi, qp, qok = blk
-                e2_unit, e2_world, n2 = seg_points(qp, inv2)
+                bi, qs, qok = blk
+                e2_unit, e2_world, n2 = seg_points(qs, inv2)
                 match = jnp.ones((cap, qb), bool)
                 if cfg.congruent_distance_mode == "cell":
                     cell2p = pack(
@@ -330,13 +337,13 @@ def extract_congruent_sets(
             if use_pallas:
                 pass  # row_best/total computed by the kernel above
             elif nb == 1:
-                row_best, total = one_block((jnp.uint32(0), q_pairs, q_ok))
+                row_best, total = one_block((jnp.uint32(0), q_src, q_ok))
             else:
                 block_best, btotals = jax.lax.map(
                     one_block,
                     (
                         jnp.arange(nb, dtype=jnp.uint32),
-                        q_pairs.reshape(nb, qb, 2),
+                        q_src.reshape(nb, qb),
                         q_ok.reshape(nb, qb),
                     ),
                 )
@@ -349,12 +356,9 @@ def extract_congruent_sets(
             quad_valid = top > 0
             pi = slot // sub
             qi = top & ((1 << col_bits) - 1)
-            quads = jnp.stack(
-                [
-                    p_pairs[pi, 0], p_pairs[pi, 1],
-                    q_pairs[qi, 0], q_pairs[qi, 1],
-                ],
-                axis=-1,
+            # pair-index gathers only for the selected winners
+            quads = jnp.concatenate(
+                [table.pairs[p_src[pi]], table.pairs[q_src[qi]]], axis=-1
             ).astype(jnp.int32)
             return quads, quad_valid, total
 

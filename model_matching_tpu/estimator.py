@@ -101,10 +101,12 @@ def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _phase_congruent(key, table, model_pos, scene_pos, scene_normal,
-                     bases: sampling.SampledBases, cfg: MatchConfig):
+                     bases: sampling.SampledBases, cfg: MatchConfig,
+                     pair_ep=None):
     return congruent.extract_congruent_sets(
         key, table, model_pos, scene_pos, scene_normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
+        pair_ep=pair_ep,
     )
 
 
@@ -112,7 +114,8 @@ def _run_congruent(key, model, scene, bases, cfg: MatchConfig):
     """Congruent dispatch (one jit program; sorted-grouped tiers inside it
     per cfg.congruent_sorted_groups, congruent.py)."""
     return _phase_congruent(
-        key, model.table, model.pos, scene.pos, scene.normal, bases, cfg
+        key, model.table, model.pos, scene.pos, scene.normal, bases, cfg,
+        pair_ep=model.pair_ep,
     )
 
 

@@ -38,9 +38,24 @@ class ModelPack:
     valid: jax.Array     # [M]
     centroid: jax.Array  # [3]
     table: PPFTable
+    # optional [total_pairs, 6] f32 (endpoint-a xyz, (b - a) xyz) in the
+    # CENTERED frame, precomputed once per model so the congruent gate's
+    # feature stage gathers one 24-byte row per pair instead of the pair
+    # indices plus two position rows (build_pair_ep). None falls back to
+    # the index-gather path.
+    pair_ep: jax.Array | None = None
 
     def count(self):
         return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def build_pair_ep(centered_pos, pairs) -> jax.Array:
+    """[total_pairs, 6] f32 rows (a.xyz, (b - a).xyz) from centered model
+    positions — the exact expressions the congruent gate's seg_points
+    evaluates, hoisted out of the per-chunk program."""
+    a = centered_pos[pairs[:, 0]]
+    b = centered_pos[pairs[:, 1]]
+    return jnp.concatenate([a, b - a], axis=1)
 
 
 def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
@@ -102,11 +117,16 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
 
     valid = np.zeros(padded, bool)
     valid[:n] = True
+    pos_padded = pad(pos)
     return ModelPack(
-        pos=pad(pos),
+        pos=pos_padded,
         normal=pad(normal),
         rgb=pad(rgb if rgb is not None else np.full((n, 3), -1.0, np.float32)),
         valid=jnp.asarray(valid),
         centroid=jnp.asarray(centroid.astype(np.float32)),
         table=table,
+        # built from the PADDED positions so standardized models share the
+        # build program's shapes (zero recompiles across serve requests);
+        # pairs only reference real points, so values are unaffected
+        pair_ep=build_pair_ep(pos_padded, table.pairs),
     )

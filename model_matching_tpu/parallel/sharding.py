@@ -112,7 +112,7 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
     sets = congruent.extract_congruent_sets(
         k_cong, model.table, model.pos, scene.pos, scene.normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-        cfg,
+        cfg, pair_ep=model.pair_ep,
     )
     b, k, _ = sets.quads.shape
     scene_quad = jnp.broadcast_to(

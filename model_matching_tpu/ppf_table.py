@@ -527,10 +527,15 @@ def lookup_pair_range(table: PPFTable, query_bins: jax.Array):
     return offset, count
 
 
-def gather_pairs(table: PPFTable, offset: jax.Array, count: jax.Array, cap: int):
-    """Flatten the <=128 CSR ranges into padded [cap, 2] pair indices +
-    validity mask. Overflow beyond `cap` is truncated (the reference would
-    keep all pairs; truncation is logged upstream)."""
+def gather_pair_srcs(
+    table: PPFTable, offset: jax.Array, count: jax.Array, cap: int
+):
+    """Flatten the <=128 CSR ranges into padded [cap] source positions
+    into table.pairs + validity mask — no pair gather, so callers that
+    read per-pair features from a precomputed table (ModelPack.pair_ep)
+    fetch pair indices only for their selected winners. Overflow beyond
+    `cap` is truncated (the reference would keep all pairs; truncation is
+    logged upstream)."""
     total_before = jnp.cumsum(count) - count  # start position of each range
     total = jnp.sum(count)
 
@@ -543,5 +548,10 @@ def gather_pairs(table: PPFTable, offset: jax.Array, count: jax.Array, cap: int)
     valid = s < total
     src = offset[r_idx] + within
     src = jnp.clip(src, 0, table.pairs.shape[0] - 1)
-    out = table.pairs[src]
-    return out, valid, total
+    return src, valid, total
+
+
+def gather_pairs(table: PPFTable, offset: jax.Array, count: jax.Array, cap: int):
+    """gather_pair_srcs + the [cap, 2] pair-index gather."""
+    src, valid, total = gather_pair_srcs(table, offset, count, cap)
+    return table.pairs[src], valid, total

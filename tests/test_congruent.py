@@ -322,3 +322,43 @@ def test_tier_plan_shared_construction():
     assert congruent.tier_plan(20480) == (
         full + [(8192, 4096)], (20480, 4096)
     )
+
+
+def test_pair_ep_path_matches_index_gather_path(rng):
+    """extract_congruent_sets with a precomputed ModelPack.pair_ep table
+    must return bit-identical sets to the pair-index gather fallback: the
+    ep rows hold the exact (a, b - a) expressions seg_points evaluates."""
+    from model_matching_tpu.model import build_pair_ep
+
+    mpos = rng.uniform(-0.1, 0.1, (60, 3)).astype(np.float32)
+    mpos[:, 2] = rng.normal(0, 0.002, 60)
+    _junk, mnrm = random_cloud(rng, 60)
+    table, _ = ppf_table.build_ppf_table(mpos, mnrm, 5, 5)
+    spos, snrm = mpos.copy(), mnrm.copy()
+    cfg = MatchConfig(
+        max_pairs_per_bin=1024,
+        maximum_congruent_sets=64,
+        congruent_cos_tolerance=0.3,
+    )
+    idx = np.stack([rng.choice(60, 4, replace=False) for _ in range(16)])
+    inv1 = rng.uniform(0.2, 0.8, 16).astype(np.float32)
+    inv2 = rng.uniform(0.2, 0.8, 16).astype(np.float32)
+    args = (
+        jax.random.PRNGKey(3), table,
+        jnp.asarray(mpos), jnp.asarray(spos), jnp.asarray(snrm),
+        jnp.asarray(idx.astype(np.int32)), jnp.asarray(inv1),
+        jnp.asarray(inv2), jnp.ones(16, bool), cfg,
+    )
+    plain = congruent.extract_congruent_sets(*args)
+    ep = build_pair_ep(jnp.asarray(mpos), table.pairs)
+    fast = congruent.extract_congruent_sets(*args, pair_ep=ep)
+    np.testing.assert_array_equal(
+        np.asarray(plain.quad_valid), np.asarray(fast.quad_valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.quads)[np.asarray(plain.quad_valid)],
+        np.asarray(fast.quads)[np.asarray(fast.quad_valid)],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.total_found), np.asarray(fast.total_found)
+    )
