@@ -145,7 +145,26 @@ def cmd_stocs_single(argv):
     p.add_argument("--sweep", type=int, default=None, metavar="TOTAL_BASES",
                    help="large hypothesis sweep: process TOTAL_BASES class "
                         "bases in chunks and cluster the pooled winners")
+    p.add_argument("--sweep-chunk", type=int, default=2048, metavar="BASES",
+                   help="bases per compiled sweep chunk (default 2048)")
+    p.add_argument("--sweep-checkpoint", default=None, metavar="PATH",
+                   help="persist sweep state to PATH every "
+                        "--sweep-checkpoint-every chunks; re-running with "
+                        "the same arguments resumes (bit-identical to an "
+                        "uninterrupted sweep); removed on completion")
+    p.add_argument("--sweep-checkpoint-every", type=int, default=8,
+                   metavar="CHUNKS")
+    p.add_argument("--sweep-stop-after", type=int, default=None,
+                   metavar="CHUNKS",
+                   help="process at most CHUNKS chunks this invocation, "
+                        "checkpoint, and exit (time-sliced operation; "
+                        "requires --sweep-checkpoint)")
     args = p.parse_args(argv)
+
+    if args.sweep_stop_after and not args.sweep_checkpoint:
+        print("error: --sweep-stop-after requires --sweep-checkpoint "
+              "(the remaining chunks must be resumable)")
+        return 1
 
     cfg = get_preset(args.preset).match
     if args.number_of_bases is not None:
@@ -216,16 +235,32 @@ def cmd_stocs_single(argv):
                   f"{n_dev}-device sharding applies to class-path scenes")
             n_dev = 1
         if n_dev > 1:
+            if args.sweep_checkpoint:
+                # the sharded pools live per shard; refuse loudly rather
+                # than silently checkpointing a different sweep
+                print("error: --sweep-checkpoint supports the single-chip "
+                      "sweep only (run with one device, or drop the flag)")
+                return 1
             # shard the hypothesis axis over the mesh; chunk divisibility is
             # guaranteed by rounding up to the device count
             from .parallel.sharding import make_mesh, run_sweep_sharded
 
-            chunk = -(-2048 // n_dev) * n_dev
+            chunk = -(-args.sweep_chunk // n_dev) * n_dev
             best_lcp, best_w, cl_t, cl_s, stats = run_sweep_sharded(
                 make_mesh(), model, scene, cfg, args.sweep, chunk=chunk,
             )
         else:
-            best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(args.sweep)
+            best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(
+                args.sweep, chunk=args.sweep_chunk,
+                checkpoint_path=args.sweep_checkpoint,
+                checkpoint_every=args.sweep_checkpoint_every,
+                stop_after_chunks=args.sweep_stop_after,
+            )
+        if not stats.get("completed", True):
+            print(f"sweep: stopped after chunk {stats['next_chunk']} — "
+                  f"checkpoint at {args.sweep_checkpoint}; re-run the same "
+                  f"command to resume")
+            return 0
         out_file = os.path.join(
             scene_out, f"best_pose_candidate_{args.object}.txt"
         )

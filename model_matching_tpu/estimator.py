@@ -16,6 +16,9 @@ Per-phase wall-clock is reported like the reference's chrono spans
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
+import os
 import time
 from functools import partial
 from typing import Optional
@@ -209,6 +212,97 @@ def _phase_refine(best_t, model: ModelPack, scene: ScenePack, class_prob,
         model_count=jnp.sum(model.valid.astype(jnp.float32)),
     )[0]
     return refined, new_lcp
+
+
+_SWEEP_CKPT_VERSION = 1
+
+
+def _sweep_cfg_fingerprint(cfg: MatchConfig) -> str:
+    """Stable fingerprint of the sweep-relevant config: a resumed sweep
+    must run under the exact configuration that produced the checkpoint
+    (different thresholds/caps would silently mix semantics)."""
+    d = dataclasses.asdict(cfg)
+    return hashlib.sha1(
+        json.dumps(d, sort_keys=True, default=repr).encode()
+    ).hexdigest()
+
+
+def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
+                           use_instance, pool_s, pool_t, pool_w,
+                           chunk_valid, unconverged, elapsed,
+                           prob_decayed, class_prob):
+    """Atomic npz checkpoint of a sweep in progress. Chunk PRNG keys are
+    fold_in(key0, ci) — stateless in the loop — so the only cross-chunk
+    state is the pooled winners and (instance mode) the decayed prior;
+    resuming reproduces the uninterrupted sweep bit for bit (the online
+    run is otherwise stateless, like the reference's one-shot binaries —
+    this extends SURVEY section 5's persisted-state inventory to
+    preemptible large sweeps)."""
+    arrays = dict(
+        version=np.int64(_SWEEP_CKPT_VERSION),
+        next_chunk=np.int64(next_chunk),
+        chunk=np.int64(chunk),
+        seed=np.int64(seed),
+        kp=np.int64(kp),
+        cfg_fp=np.frombuffer(cfg_fp.encode(), dtype=np.uint8),
+        use_instance=np.bool_(use_instance),
+        pool_s=np.asarray(pool_s),
+        pool_t=np.asarray(pool_t),
+        pool_w=np.asarray(pool_w),
+        chunk_valid=np.asarray(chunk_valid),
+        unconverged=np.int64(unconverged),
+        elapsed=np.float64(elapsed),
+        prob_decayed=np.bool_(prob_decayed),
+    )
+    if prob_decayed:
+        arrays["class_prob"] = np.asarray(class_prob)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance):
+    """Load + validate a sweep checkpoint against this call's parameters.
+    Raises ValueError on any mismatch — a checkpoint must never silently
+    resume under different semantics."""
+    with np.load(path) as z:
+        if int(z["version"]) != _SWEEP_CKPT_VERSION:
+            raise ValueError(
+                f"sweep checkpoint {path}: unsupported version "
+                f"{int(z['version'])}"
+            )
+        saved_fp = bytes(z["cfg_fp"]).decode()
+        mism = []
+        if int(z["chunk"]) != chunk:
+            mism.append(f"chunk {int(z['chunk'])} != {chunk}")
+        if int(z["seed"]) != seed:
+            mism.append(f"seed {int(z['seed'])} != {seed}")
+        if int(z["kp"]) != kp:
+            mism.append(f"keep_per_chunk {int(z['kp'])} != {kp}")
+        if saved_fp != cfg_fp:
+            mism.append("config fingerprint differs")
+        if bool(z["use_instance"]) != use_instance:
+            mism.append("sampling path (instance/class) differs")
+        if mism:
+            raise ValueError(
+                f"sweep checkpoint {path} does not match this sweep: "
+                + "; ".join(mism)
+            )
+        return dict(
+            next_chunk=int(z["next_chunk"]),
+            pool_s=jnp.asarray(z["pool_s"]),
+            pool_t=jnp.asarray(z["pool_t"]),
+            pool_w=jnp.asarray(z["pool_w"]),
+            chunk_valid=jnp.asarray(z["chunk_valid"]),
+            unconverged=int(z["unconverged"]),
+            elapsed=float(z["elapsed"]),
+            prob_decayed=bool(z["prob_decayed"]),
+            class_prob=(
+                jnp.asarray(z["class_prob"]) if bool(z["prob_decayed"])
+                else None
+            ),
+        )
 
 
 def finish_sweep_pool(pool_s, pool_t, pool_w, model: ModelPack,
@@ -486,7 +580,10 @@ class StocsEstimator:
     def run_sweep(self, total_bases: int, chunk: int = 2048,
                   keep_per_chunk: Optional[int] = None,
                   seed: Optional[int] = None,
-                  verbose: bool = True):
+                  verbose: bool = True,
+                  checkpoint_path: Optional[str] = None,
+                  checkpoint_every: int = 8,
+                  stop_after_chunks: Optional[int] = None):
         """Large hypothesis sweep (BASELINE config 5): process `total_bases`
         bases in fixed-size chunks through the same jitted phases (compiled
         once), keep the top `keep_per_chunk` scored poses of each chunk, and
@@ -508,20 +605,92 @@ class StocsEstimator:
         keep_per_chunk None -> cfg.sweep_keep_per_chunk; 0 -> pool EVERY
         scored hypothesis slot (reference full-pool clustering semantics,
         pose_clustering.cpp:79-121; see the config field for the measured
-        truncation bound)."""
+        truncation bound).
+
+        `checkpoint_path`: persist the sweep state (pooled winners, chunk
+        cursor, decayed prior) every `checkpoint_every` chunks; a later
+        call with the same arguments resumes from the cursor and — because
+        chunk PRNG keys are fold_in(key0, ci), independent of history —
+        reproduces the uninterrupted sweep bit for bit. The file is
+        removed on completion. Mismatched chunk/seed/keep/config raise.
+        `stop_after_chunks` bounds how many chunks THIS call processes
+        (time-sliced / preemption-style operation): the call checkpoints,
+        returns the pool-so-far result, and sets stats["completed"]=False
+        + stats["next_chunk"]."""
         cfg = dataclasses.replace(self.cfg, number_of_bases=chunk)
         if keep_per_chunk is None:
             keep_per_chunk = cfg.sweep_keep_per_chunk
-        key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        seed_used = cfg.seed if seed is None else seed
+        key0 = jax.random.PRNGKey(seed_used)
         n_chunks = -(-total_bases // chunk)
         total_bases = n_chunks * chunk
         use_instance = self.scene.has_edge
 
         pool_t, pool_w, pool_s, chunk_valid = [], [], [], []
+        unconverged = []  # device-side per chunk; summed after the loop
+        start_chunk = 0
+        resumed_unconverged = 0
+        t_prev = 0.0
+        cfg_fp = _sweep_cfg_fingerprint(cfg) if checkpoint_path else ""
+        if checkpoint_path and os.path.exists(checkpoint_path):
+            state = _load_sweep_checkpoint(
+                checkpoint_path, chunk=chunk, seed=seed_used,
+                kp=keep_per_chunk, cfg_fp=cfg_fp, use_instance=use_instance,
+            )
+            start_chunk = state["next_chunk"]
+            if start_chunk > n_chunks:
+                raise ValueError(
+                    f"sweep checkpoint {checkpoint_path} has already "
+                    f"processed {start_chunk} chunks; this call asks for "
+                    f"only {n_chunks} — raise total_bases (resuming with a "
+                    f"larger budget extends the sweep)"
+                )
+            if start_chunk:
+                pool_s.append(state["pool_s"].reshape(-1))
+                pool_t.append(state["pool_t"].reshape(-1, 4, 4))
+                pool_w.append(state["pool_w"].reshape(-1, 4, 4))
+                # per-chunk valid counts survive the round trip so the
+                # compact-cap overflow warning keeps its per-chunk max
+                chunk_valid.extend(state["chunk_valid"])
+            resumed_unconverged = state["unconverged"]
+            t_prev = state["elapsed"]
+            if state["prob_decayed"]:
+                self.class_prob = state["class_prob"]
+            from .utils.log import log_event
+
+            log_event(
+                "stocs_sweep_resume", path=checkpoint_path,
+                next_chunk=start_chunk, n_chunks=n_chunks,
+            )
+            if verbose:
+                print(f"sweep: resumed from {checkpoint_path} at chunk "
+                      f"{start_chunk}/{n_chunks}")
+
+        def save_ckpt(next_chunk):
+            _save_sweep_checkpoint(
+                checkpoint_path, next_chunk=next_chunk, chunk=chunk,
+                seed=seed_used, kp=keep_per_chunk, cfg_fp=cfg_fp,
+                use_instance=use_instance,
+                # a resumed pool's first entry is flat [start*kp]; one
+                # concatenate + reshape restores the per-chunk layout
+                pool_s=jnp.concatenate(pool_s).reshape(next_chunk, -1),
+                pool_t=jnp.concatenate(pool_t).reshape(next_chunk, -1, 4, 4),
+                pool_w=jnp.concatenate(pool_w).reshape(next_chunk, -1, 4, 4),
+                chunk_valid=jnp.stack(
+                    [jnp.asarray(v, jnp.int32) for v in chunk_valid]
+                ),
+                unconverged=resumed_unconverged + (
+                    int(jnp.stack(unconverged).sum()) if unconverged else 0
+                ),
+                elapsed=t_prev + (time.perf_counter() - t_start),
+                prob_decayed=self.class_prob is not self.scene.class_prob,
+                class_prob=self.class_prob,
+            )
+
         t_start = time.perf_counter()
         bits = None if use_instance else self.exists_bits()
-        unconverged = []  # device-side per chunk; summed after the loop
-        for ci in range(n_chunks):
+        stopped_at = None
+        for ci in range(start_chunk, n_chunks):
             key = jax.random.fold_in(key0, ci)
             k_sample, k_cong = jax.random.split(key)
             if use_instance:
@@ -562,7 +731,21 @@ class StocsEstimator:
             # device-side count: converting per chunk would sync the host
             # loop and stall dispatch pipelining
             chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
-        n_unconverged = int(jnp.stack(unconverged).sum()) if unconverged else 0
+            done_this_call = ci + 1 - start_chunk
+            if (stop_after_chunks is not None
+                    and done_this_call >= stop_after_chunks
+                    and ci + 1 < n_chunks):
+                stopped_at = ci + 1
+                if checkpoint_path:
+                    save_ckpt(ci + 1)
+                break
+            if (checkpoint_path and ci + 1 < n_chunks
+                    and done_this_call % max(1, checkpoint_every) == 0):
+                save_ckpt(ci + 1)
+        completed = stopped_at is None
+        n_unconverged = resumed_unconverged + (
+            int(jnp.stack(unconverged).sum()) if unconverged else 0
+        )
         if n_unconverged:
             from .utils.log import warn
 
@@ -572,7 +755,9 @@ class StocsEstimator:
                 f"{cfg.flood_fill_sweeps} sweeps — segments under-fill",
                 n_unconverged=n_unconverged, sweeps=cfg.flood_fill_sweeps,
             )
-        nvs = np.asarray(jnp.stack(chunk_valid))
+        nvs = np.asarray(
+            jnp.stack([jnp.asarray(v, jnp.int32) for v in chunk_valid])
+        )
         n_hyp_total = int(nvs.sum())
         cap = cfg.score_compact_cap
         slots = chunk * cfg.maximum_congruent_sets
@@ -585,12 +770,20 @@ class StocsEstimator:
                 f"raise the cap for full recall",
                 n_valid=int(nvs.max()), cap=cap,
             )
+        if completed and checkpoint_path and os.path.exists(checkpoint_path):
+            os.remove(checkpoint_path)
+        processed = (stopped_at if stopped_at is not None else n_chunks) * chunk
+        extra = {"completed": completed}
+        if not completed:
+            extra["next_chunk"] = stopped_at
         return finish_sweep_pool(
             jnp.concatenate(pool_s), jnp.concatenate(pool_t),
             jnp.concatenate(pool_w),
             self.model, self.scene, self._score_prob(), cfg,
-            total_bases=total_bases, n_hyp_total=n_hyp_total,
-            t_start=t_start, verbose=verbose,
+            total_bases=processed, n_hyp_total=n_hyp_total,
+            # resumed time counts: finish measures elapsed = now - t_start
+            t_start=t_start - t_prev, verbose=verbose,
+            extra_stats=extra,
         )
 
     def cluster_poses(self, result: StocsResult):

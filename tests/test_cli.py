@@ -61,6 +61,16 @@ def test_stocs_single_missing_model_friendly_error(workdir, capsys):
     assert "model-preprocess" in capsys.readouterr().out
 
 
+def test_sweep_stop_after_requires_checkpoint(workdir, capsys):
+    rc = cli.main([
+        "stocs-single", f"{REF}/examples/ycb", "024_bowl",
+        "--repo-path", REF, "--output-root", str(workdir),
+        "--sweep", "64", "--sweep-stop-after", "1",
+    ])
+    assert rc == 1
+    assert "--sweep-checkpoint" in capsys.readouterr().out
+
+
 def test_stocs_multi_missing_probability_map_friendly_error(workdir, capsys):
     rc = cli.main([
         "stocs-multi", f"{REF}/examples/ycb", "024_bowl,dove",

@@ -33,6 +33,100 @@ def test_run_sweep_finds_pose(setup=None):
     assert len(cl_s) >= 1 and cl_s[0] == best_lcp
 
 
+def _synthetic_setup():
+    import tests.test_pipeline_synthetic as tps
+
+    return tps.setup.__wrapped__()
+
+
+def test_run_sweep_checkpoint_resume_bit_identical(tmp_path):
+    """An interrupted + resumed sweep must reproduce the uninterrupted one
+    bit for bit: chunk PRNG keys are fold_in(key0, ci), so the pooled
+    winners are the only cross-chunk state and the checkpoint round-trips
+    them exactly."""
+    model, scene, cfg, gt, _ = _synthetic_setup()
+    ckpt = str(tmp_path / "sweep.ckpt.npz")
+
+    est_a = StocsEstimator(model, scene, cfg)
+    ref = est_a.run_sweep(128, chunk=32, keep_per_chunk=32, verbose=False)
+
+    est_b = StocsEstimator(model, scene, cfg)
+    part = est_b.run_sweep(
+        128, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt, stop_after_chunks=2,
+    )
+    assert part[4]["completed"] is False
+    assert part[4]["next_chunk"] == 2
+    assert (tmp_path / "sweep.ckpt.npz").exists()
+
+    est_c = StocsEstimator(model, scene, cfg)  # fresh process analogue
+    res = est_c.run_sweep(
+        128, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    assert res[4]["completed"] is True
+    assert not (tmp_path / "sweep.ckpt.npz").exists()  # removed when done
+
+    assert res[0] == ref[0]                       # best lcp
+    assert np.array_equal(res[1], ref[1])         # best world pose
+    assert np.array_equal(res[2], ref[2])         # cluster transforms
+    assert np.array_equal(res[3], ref[3])         # cluster lcps
+    assert res[4]["hypotheses"] == ref[4]["hypotheses"]
+
+
+def test_run_sweep_checkpoint_roundtrips_decayed_prior(tmp_path):
+    """The decayed probability prior (instance-mode cross-chunk state) is
+    saved and restored: a sweep started under a decayed prior and resumed
+    in a fresh estimator matches the uninterrupted decayed-prior sweep."""
+    import jax.numpy as jnp
+
+    model, scene, cfg, gt, _ = _synthetic_setup()
+    decayed = scene.class_prob * 0.7
+    ckpt = str(tmp_path / "sweep.ckpt.npz")
+
+    est_a = StocsEstimator(model, scene, cfg)
+    est_a.class_prob = decayed
+    ref = est_a.run_sweep(64, chunk=32, keep_per_chunk=32, verbose=False)
+
+    est_b = StocsEstimator(model, scene, cfg)
+    est_b.class_prob = decayed
+    est_b.run_sweep(
+        64, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt, stop_after_chunks=1,
+    )
+    est_c = StocsEstimator(model, scene, cfg)  # pristine prior at start
+    res = est_c.run_sweep(
+        64, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    # the restored prior drove chunk 1's sampling and the final scoring
+    assert jnp.array_equal(est_c.class_prob, decayed)
+    assert res[0] == ref[0]
+    assert np.array_equal(res[1], ref[1])
+
+
+def test_run_sweep_checkpoint_rejects_mismatch(tmp_path):
+    import pytest
+
+    model, scene, cfg, gt, _ = _synthetic_setup()
+    ckpt = str(tmp_path / "sweep.ckpt.npz")
+    est = StocsEstimator(model, scene, cfg)
+    est.run_sweep(
+        64, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt, stop_after_chunks=1,
+    )
+    with pytest.raises(ValueError, match="seed"):
+        est.run_sweep(
+            64, chunk=32, keep_per_chunk=32, verbose=False,
+            checkpoint_path=ckpt, seed=123,
+        )
+    with pytest.raises(ValueError, match="chunk"):
+        est.run_sweep(
+            64, chunk=16, keep_per_chunk=32, verbose=False,
+            checkpoint_path=ckpt,
+        )
+
+
 def test_trimmed_icp_ignores_outlier_region(rng):
     # target: plane trio; source adds a cluster of outlier points that plain
     # point-to-plane would chase
