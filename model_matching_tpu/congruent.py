@@ -126,17 +126,15 @@ def extract_congruent_sets(
     tiers, (_top_cap, top_qb) = tier_plan(p_cap)
 
     def one_base(args, fixed_tier=None):
-        bkey, bidx, inv1, inv2, bvalid = args
+        # the PPF-bin lookups are hoisted out of the per-base body (see
+        # the vmapped `lookups` below): the sorted-grouped dispatch needs
+        # the pair counts for tier selection anyway, and the probe loop
+        # measured 28 us/base — doing it once, batched, instead of per
+        # base (and previously per base AND per base_load) saves ~15% of
+        # the whole phase (scripts/probe_onebase_decomp.py)
+        bkey, bidx, inv1, inv2, bvalid, off1, cnt1, off2, cnt2 = args
         b = scene_pos[bidx]          # [4, 3]
         bn = scene_normal[bidx]
-
-        bins1 = ppf_bins(b[0], bn[0], b[1], bn[1], cfg.ppf_tr_discretization,
-                         cfg.ppf_rot_discretization)
-        bins2 = ppf_bins(b[2], bn[2], b[3], bn[3], cfg.ppf_tr_discretization,
-                         cfg.ppf_rot_discretization)
-
-        off1, cnt1 = lookup_pair_range(table, bins1)
-        off2, cnt2 = lookup_pair_range(table, bins2)
         p_total = jnp.sum(cnt1)
         q_total = jnp.sum(cnt2)
 
@@ -391,7 +389,20 @@ def extract_congruent_sets(
 
     b = base_indices.shape[0]
     keys = jax.random.split(key, b)
-    args = (keys, base_indices, invariant1, invariant2, base_valid)
+    tr, rot = cfg.ppf_tr_discretization, cfg.ppf_rot_discretization
+
+    def lookups(bidx):
+        # one batched PPF-lookup pass for all bases: feeds both the
+        # grouped dispatch's tier selection and the per-base matching
+        bp, bn = scene_pos[bidx], scene_normal[bidx]
+        off1, cnt1 = lookup_pair_range(
+            table, ppf_bins(bp[0], bn[0], bp[1], bn[1], tr, rot))
+        off2, cnt2 = lookup_pair_range(
+            table, ppf_bins(bp[2], bn[2], bp[3], bn[3], tr, rot))
+        return off1, cnt1, off2, cnt2
+
+    offs = jax.vmap(lookups)(base_indices)
+    args = (keys, base_indices, invariant1, invariant2, base_valid) + offs
 
     # group width: the configured G, shrunk to the largest divisor of B so
     # any batch size groups (a prime B degenerates to the per-base ladder)
@@ -400,19 +411,9 @@ def extract_congruent_sets(
         g -= 1
 
     if g > 1 and tiers:
-        tr, rot = cfg.ppf_tr_discretization, cfg.ppf_rot_discretization
-
-        def base_load(bidx):
-            # tier-selection count pass: two PPF-bin lookups per base,
-            # trivial next to the gate matrices they route
-            bp, bn = scene_pos[bidx], scene_normal[bidx]
-            l1 = jnp.sum(lookup_pair_range(
-                table, ppf_bins(bp[0], bn[0], bp[1], bn[1], tr, rot))[1])
-            l2 = jnp.sum(lookup_pair_range(
-                table, ppf_bins(bp[2], bn[2], bp[3], bn[3], tr, rot))[1])
-            return jnp.maximum(l1, l2)
-
-        loads = jax.vmap(base_load)(base_indices)
+        loads = jnp.maximum(
+            jnp.sum(offs[1], axis=1), jnp.sum(offs[3], axis=1)
+        )
         order = jnp.argsort(loads)  # stable: ties keep batch order
         gargs = jax.tree_util.tree_map(
             lambda a: a[order].reshape((b // g, g) + a.shape[1:]), args

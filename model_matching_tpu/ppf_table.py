@@ -539,10 +539,18 @@ def gather_pair_srcs(
     total_before = jnp.cumsum(count) - count  # start position of each range
     total = jnp.sum(count)
 
-    # For each output slot s in [0, cap): find which range it falls into.
+    # For each output slot s in [0, cap): find which range it falls into —
+    # searchsorted(ends, s, side="right") computed as a [cap, 128]
+    # broadcast compare + row sum. The closed form vectorizes on the VPU;
+    # jnp.searchsorted lowers to a binary-search gather chain whose cost
+    # scales with cap (measured ~0.9 ms/base at cap 8192 on v5e — it was
+    # the dominant dense-tier cost, scripts/probe_onebase_decomp.py).
     s = jnp.arange(cap, dtype=jnp.int32)
     # range r covers [total_before[r], total_before[r] + count[r])
-    r_idx = jnp.searchsorted(total_before + count, s, side="right").astype(jnp.int32)
+    ends = total_before + count
+    r_idx = jnp.sum(
+        (ends[None, :] <= s[:, None]).astype(jnp.int32), axis=1
+    )
     r_idx = jnp.minimum(r_idx, count.shape[0] - 1)
     within = s - total_before[r_idx]
     valid = s < total
