@@ -155,17 +155,21 @@ def unpack_key_np(keys: np.ndarray, tr_disc: int, rot_disc: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _build_open_table(
-    keys: np.ndarray, min_size: int = 0
+    keys: np.ndarray, min_size: int = 0, oversize: int = 4
 ) -> Tuple[np.ndarray, int]:
     """Insert sorted unique int32 keys into a power-of-two linear-probe table.
 
     Returns (table of indices into `keys`, -1 = empty; max_probes bound valid
     for both hits and misses). min_size forces a larger table (used to give
-    several models identical table shapes for vmapped multi-object runs)."""
+    several models identical table shapes for vmapped multi-object runs).
+
+    `oversize` sets the inverse load factor (table >= oversize * keys):
+    the device lookup is a batched while_loop that runs until the SLOWEST
+    key in the batch resolves, so the longest probe run — not the mean —
+    prices every lookup. Load 1/4 measured max_probes 14 on the YCB bin
+    table; 1/16 cuts it to ~4 for a few MB of int32 arrays."""
     u = keys.shape[0]
-    # load factor <= 0.25: linear-probe worst-case run length (which bounds
-    # the per-lookup fori_loop trip count on device) stays small
-    size = 1 << int(np.ceil(np.log2(max(4 * u, 16, min_size))))
+    size = 1 << int(np.ceil(np.log2(max(oversize * u, 16, min_size))))
     mask = np.uint32(size - 1)
     table = np.full(size, -1, dtype=np.int64)
     slot = (_mix32_np(keys) & mask).astype(np.int64)
@@ -322,7 +326,7 @@ def build_ppf_table(
         flat_keys, return_index=True, return_counts=True
     )
 
-    bin_table_idx, bin_probes = _build_open_table(uniq_keys)
+    bin_table_idx, bin_probes = _build_open_table(uniq_keys, oversize=16)
     tb = bin_table_idx.shape[0]
     bin_keys = np.full(tb, -1, dtype=np.int32)
     bin_offset = np.zeros(tb, dtype=np.int32)
@@ -337,7 +341,7 @@ def build_ppf_table(
     fan_keys = fanout_keys(uniq_keys, tr_disc, rot_disc)
     fan_keys = np.unique(fan_keys[fan_keys >= 0])
 
-    exist_table_idx, exist_probes = _build_open_table(fan_keys)
+    exist_table_idx, exist_probes = _build_open_table(fan_keys, oversize=8)
     te = exist_table_idx.shape[0]
     exist_keys = np.full(te, -1, dtype=np.int32)
     eocc = exist_table_idx >= 0

@@ -152,6 +152,31 @@ def best_pose(scores: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return jnp.where(best > 0, best_idx, -1), jnp.maximum(best, 0.0)
 
 
+def _stable_partition_sel(valid: jax.Array, cap: int) -> jax.Array:
+    """First `cap` slot indices of the stable valid-first partition —
+    identical to argsort(~valid, stable)[:cap], computed in O(n) with two
+    cumsums + one scatter instead of a full sort. Standalone the argsort
+    measured 28 ms on a 409,600-slot fixture chunk; inside the fused
+    scoring program the two are wall-neutral on v5e (XLA overlaps the
+    sort), so this is kept for its asymptotics and for slot counts where
+    the sort stops hiding (tests pin index-level equality)."""
+    h = valid.shape[0]
+    vi = valid.astype(jnp.int32)
+    nv = jnp.cumsum(vi)
+    # valid slot i lands at rank (#valid before or at i) - 1; invalid slot
+    # i lands after ALL valid slots, at nv_total + (#invalid before or at
+    # i) - 1 — exactly the stable partition's destination
+    pos = jnp.where(
+        valid,
+        nv - 1,
+        nv[-1] + jnp.cumsum(1 - vi) - 1,
+    )
+    perm = jnp.zeros(h, jnp.int32).at[pos].set(
+        jnp.arange(h, dtype=jnp.int32)
+    )
+    return perm[:cap]
+
+
 def score_hybrid(
     transforms, valid, model_pos, model_normal, model_valid,
     field: DenseField, grid: NeighborGrid,
@@ -193,7 +218,7 @@ def score_hybrid(
     h_orig = transforms.shape[0]
     sel = None
     if compact_cap and h_orig > compact_cap:
-        sel = jnp.argsort(jnp.logical_not(valid))[:compact_cap]
+        sel = _stable_partition_sel(valid, compact_cap)
         transforms = transforms[sel]
         valid = valid[sel]
     h = transforms.shape[0]

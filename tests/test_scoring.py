@@ -267,3 +267,19 @@ def test_field_scorer_baked_probs_equal(rng):
     ))
     np.testing.assert_allclose(got, want, rtol=1e-6)
     assert want[0] > 0.2  # identity is a real match
+
+
+def test_stable_partition_sel_matches_argsort():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    for h, cap in ((64, 16), (1024, 256), (4096, 4096)):
+        v = jnp.asarray(rng.random(h) < 0.13)
+        want = jnp.argsort(jnp.logical_not(v))[:cap]
+        got = scoring._stable_partition_sel(v, cap)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # all-valid and all-invalid edges
+    for v in (jnp.ones(128, bool), jnp.zeros(128, bool)):
+        want = jnp.argsort(jnp.logical_not(v))[:32]
+        got = scoring._stable_partition_sel(v, 32)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
