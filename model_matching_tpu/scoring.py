@@ -188,6 +188,7 @@ def score_hybrid(
     refine_count: int = 256,
     compact_cap: int = 0,
     bucket_stage1: bool = True,
+    precompacted_count=None,
 ):
     """Production scorer: a three-stage ladder.
 
@@ -214,7 +215,14 @@ def score_hybrid(
     while skipping the dead field-gather traffic that dominates stage 1
     when the valid fraction is low (fixture chunks: ~26k valid in the
     131072-slot compacted batch). `bucket_stage1=False` forces the
-    full-width stage 1 (used by the equivalence test)."""
+    full-width stage 1 (used by the equivalence test).
+
+    `precompacted_count`: the caller already stably partitioned the
+    slots valid-first (_phase_fit's fit-time compaction) and passes the
+    partition-prefix length; bucketing then uses it instead of the
+    valid count (fit may have invalidated slots INSIDE the prefix, so
+    counting `valid` could pick a bucket narrower than the prefix and
+    silently -1 a real hypothesis past the width)."""
     h_orig = transforms.shape[0]
     sel = None
     if compact_cap and h_orig > compact_cap:
@@ -240,8 +248,13 @@ def score_hybrid(
             [c, jnp.full((h - width,), -1.0, c.dtype)]
         )
 
-    if bucket_stage1 and sel is not None and h >= 8192:
-        nv = jnp.sum(valid.astype(jnp.int32))
+    compacted = sel is not None or precompacted_count is not None
+    if bucket_stage1 and compacted and h >= 8192:
+        nv = (
+            precompacted_count
+            if precompacted_count is not None
+            else jnp.sum(valid.astype(jnp.int32))
+        )
         widths = [h // 8, h // 4, h // 2]
 
         def pick(remaining):

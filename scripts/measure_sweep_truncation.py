@@ -68,8 +68,8 @@ def main():
     bases = _phase_sample(ks, model.table, scene.pos, scene.normal,
                           est.class_prob, scene.valid, ccfg, args.chunk, bits)
     sets = _run_congruent(kc, model, scene, bases, ccfg)
-    poses = _phase_fit(scene.pos, model.pos, scene.centroid, model.centroid,
-                       bases, sets)
+    poses, _nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+                             model.centroid, bases, sets)
     n_valid = int(jnp.sum(poses.valid.astype(jnp.int32)))
     t0 = time.perf_counter()
     s_ladder, i_ladder, b_ladder = _phase_score(

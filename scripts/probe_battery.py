@@ -68,8 +68,8 @@ def _pipeline_poses(model, scene, cfg):
                           est.class_prob, scene.valid, cfg, CHUNK,
                           est.exists_bits())
     sets = _run_congruent(kc, model, scene, bases, cfg)
-    poses = _phase_fit(scene.pos, model.pos, scene.centroid,
-                       model.centroid, bases, sets)
+    poses, _nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+                             model.centroid, bases, sets)
     jax.block_until_ready(poses.transform)
     return est, bases, sets, poses
 

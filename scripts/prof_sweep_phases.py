@@ -86,11 +86,17 @@ def main():
         fence(bases.indices, "sample")
         sets = _run_congruent(kc, model, scene, bases, cfg)
         fence(sets.quads, "congruent")
-        poses = _phase_fit(scene.pos, model.pos, scene.centroid,
-                           model.centroid, bases, sets)
+        import jax.numpy as jnp
+        cap = cfg.score_compact_cap
+        slots = args.chunk * cfg.maximum_congruent_sets
+        poses, nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+                                model.centroid, bases, sets,
+                                compact_cap=cap)
         fence(poses.transform, "fit")
+        pre_n = (jnp.minimum(nsv, jnp.int32(cap))
+                 if (cap and slots > cap) else None)
         scores, _i, _b = _phase_score(poses, model, scene, est.class_prob,
-                                      cfg, True)
+                                      cfg, True, precompacted_count=pre_n)
         fence(scores, "score")
         top, idx = jax.lax.top_k(scores, 256)
         keep = (poses.transform[idx], poses.world_transform[idx], top)

@@ -295,7 +295,7 @@ def test_ycb_bowl_ladder_exact_argmax_identity(bowl_artifacts):
         scene.valid, ccfg, chunk, est.exists_bits(),
     )
     sets = _run_congruent(kc, model, scene, bases, ccfg)
-    poses = _phase_fit(
+    poses, _nsv = _phase_fit(
         scene.pos, model.pos, scene.centroid, model.centroid, bases, sets,
     )
     assert int(jnp.sum(poses.valid)) > 2000  # a real hypothesis population
