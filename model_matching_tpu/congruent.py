@@ -134,7 +134,6 @@ def extract_congruent_sets(
         # the whole phase (scripts/probe_onebase_decomp.py)
         bkey, bidx, inv1, inv2, bvalid, off1, cnt1, off2, cnt2 = args
         b = scene_pos[bidx]          # [4, 3]
-        bn = scene_normal[bidx]
         p_total = jnp.sum(cnt1)
         q_total = jnp.sum(cnt2)
 

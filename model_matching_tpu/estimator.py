@@ -136,10 +136,18 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
     partitioned to the front FIRST and only the leading `compact_cap`
     slots are fitted — a B-base batch carries B*max_congruent_sets slots
     but typically only ~5-10% valid, and fitting dead slots costs real
-    gather + frame-math time (70 -> ~25 ms on a 409,600-slot fixture
-    chunk). Same drop-overflow semantics as score_hybrid's compaction
-    (which becomes a no-op downstream); only the coarse-to-fine callers
-    pass it — the exact path scores every slot, so it fits every slot."""
+    gather + frame-math time (70 -> 29 ms on a 409,600-slot fixture
+    chunk). Only the coarse-to-fine callers pass it — the exact path
+    scores every slot, so it fits every slot.
+
+    Overflow semantics vs the old score-time compaction: both drop
+    congruent-valid slots past the cap, but this partition runs BEFORE
+    fit validity is known, so in the (congruent-valid > cap) regime a
+    degenerate frame inside the prefix displaces one fittable slot that
+    score-time compaction would have kept. Degenerate frames measure
+    ~0.008% of slots on the fixture (RESULTS.md), and the caller's
+    overflow warning fires on the same congruent-valid count, so the
+    displacement is bounded by that warning's overflow amount."""
     b, k, _ = sets.quads.shape
     h = b * k
     slot_valid = (sets.quad_valid & bases.valid[:, None]).reshape(h)
@@ -179,19 +187,7 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
             )
 
         nvc = jnp.minimum(n_slot_valid, jnp.int32(cap))
-
-        def pick(remaining):
-            if not remaining:
-                return fit_at(cap)
-            wd = remaining[0]
-            return jax.lax.cond(
-                nvc <= wd,
-                lambda _: fit_at(wd),
-                lambda _: pick(remaining[1:]),
-                None,
-            )
-
-        return pick([cap // 8, cap // 4, cap // 2]), n_slot_valid
+        return scoring.run_bucketed(nvc, cap, fit_at), n_slot_valid
     scene_quad = scene_pos[bases.indices]            # [B, 4, 3]
     scene_quad = jnp.broadcast_to(scene_quad[:, None], (b, k, 4, 3))
     model_quad = model_pos[sets.quads]               # [B, K, 4, 3]
@@ -340,10 +336,10 @@ def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance):
     Raises ValueError on any mismatch — a checkpoint must never silently
     resume under different semantics."""
     with np.load(path) as z:
-        if int(z["version"]) != _SWEEP_CKPT_VERSION:
+        ver = int(z["version"])
+        if ver not in (1, _SWEEP_CKPT_VERSION):
             raise ValueError(
-                f"sweep checkpoint {path}: unsupported version "
-                f"{int(z['version'])}"
+                f"sweep checkpoint {path}: unsupported version {ver}"
             )
         saved_fp = bytes(z["cfg_fp"]).decode()
         mism = []
@@ -368,7 +364,13 @@ def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance):
             pool_t=jnp.asarray(z["pool_t"]),
             pool_w=jnp.asarray(z["pool_w"]),
             chunk_valid=jnp.asarray(z["chunk_valid"]),
-            chunk_slot_valid=jnp.asarray(z["chunk_slot_valid"]),
+            # v1 checkpoints (pre fit-time compaction) lack the per-chunk
+            # congruent-valid counts; fall back to the fit-valid counts (a
+            # lower bound — the overflow warning may under-fire for the
+            # resumed chunks) instead of wedging an unattended resume loop
+            chunk_slot_valid=jnp.asarray(
+                z["chunk_slot_valid"] if ver >= 2 else z["chunk_valid"]
+            ),
             unconverged=int(z["unconverged"]),
             elapsed=float(z["elapsed"]),
             prob_decayed=bool(z["prob_decayed"]),
@@ -576,9 +578,10 @@ class StocsEstimator:
             from .utils.log import warn
 
             warn(
-                f"{n_slot_valid} valid hypotheses exceed "
+                f"{n_slot_valid} congruent-valid hypothesis slots exceed "
                 f"score_compact_cap={cap}; "
-                f"overflow was not scored — raise the cap for full recall",
+                f"overflow was not fitted or scored — raise the cap for "
+                f"full recall",
                 n_valid=n_slot_valid, cap=cap,
             )
 
@@ -869,9 +872,9 @@ class StocsEstimator:
             from .utils.log import warn
 
             warn(
-                f"a chunk produced {int(slvs.max())} valid hypotheses, over "
-                f"score_compact_cap={cap}; overflow was not scored — "
-                f"raise the cap for full recall",
+                f"a chunk produced {int(slvs.max())} congruent-valid "
+                f"hypothesis slots, over score_compact_cap={cap}; overflow "
+                f"was not fitted or scored — raise the cap for full recall",
                 n_valid=int(slvs.max()), cap=cap,
             )
         if completed and checkpoint_path and os.path.exists(checkpoint_path):

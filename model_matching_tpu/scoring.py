@@ -177,6 +177,29 @@ def _stable_partition_sel(valid: jax.Array, cap: int) -> jax.Array:
     return perm[:cap]
 
 
+def run_bucketed(count, cap: int, fn_at_width):
+    """Device-side width bucketing shared by score_hybrid's stage 1 and
+    _phase_fit's compacted fit: run `fn_at_width(width)` at the smallest
+    width in (cap/8, cap/4, cap/2, cap) that covers `count` (a traced
+    scalar). Both callers rely on the same invariant — every live slot
+    sits in the partition prefix, so a narrower run padded with dead
+    slots is bit-identical to the full-width run — and must keep the
+    same widths and <=-boundary, which is why this lives in one place."""
+
+    def pick(remaining):
+        if not remaining:
+            return fn_at_width(cap)
+        wd = remaining[0]
+        return jax.lax.cond(
+            count <= wd,
+            lambda _: fn_at_width(wd),
+            lambda _: pick(remaining[1:]),
+            None,
+        )
+
+    return pick([cap // 8, cap // 4, cap // 2])
+
+
 def score_hybrid(
     transforms, valid, model_pos, model_normal, model_valid,
     field: DenseField, grid: NeighborGrid,
@@ -255,20 +278,7 @@ def score_hybrid(
             if precompacted_count is not None
             else jnp.sum(valid.astype(jnp.int32))
         )
-        widths = [h // 8, h // 4, h // 2]
-
-        def pick(remaining):
-            if not remaining:
-                return coarse_at(h)
-            wd = remaining[0]
-            return jax.lax.cond(
-                nv <= wd,
-                lambda _: coarse_at(wd),
-                lambda _: pick(remaining[1:]),
-                None,
-            )
-
-        coarse = pick(widths)
+        coarse = run_bucketed(nv, h, coarse_at)
     else:
         coarse = coarse_at(h)
 

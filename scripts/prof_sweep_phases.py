@@ -86,7 +86,6 @@ def main():
         fence(bases.indices, "sample")
         sets = _run_congruent(kc, model, scene, bases, cfg)
         fence(sets.quads, "congruent")
-        import jax.numpy as jnp
         cap = cfg.score_compact_cap
         slots = args.chunk * cfg.maximum_congruent_sets
         poses, nsv = _phase_fit(scene.pos, model.pos, scene.centroid,

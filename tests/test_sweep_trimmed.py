@@ -162,3 +162,35 @@ def test_trimmed_icp_ignores_outlier_region(rng):
     residual = off @ gt
     assert np.linalg.norm(residual[:3, 3]) < 4e-3
     np.testing.assert_allclose(residual[:3, :3], np.eye(3), atol=6e-3)
+
+
+def test_run_sweep_checkpoint_v1_migration(tmp_path):
+    """A version-1 checkpoint (pre fit-time compaction: no chunk_slot_valid
+    array) must resume instead of wedging an unattended requeue loop; the
+    missing congruent-valid counts fall back to the fit-valid counts."""
+    model, scene, cfg, gt, _ = _synthetic_setup()
+    ckpt = str(tmp_path / "sweep.ckpt.npz")
+
+    est_a = StocsEstimator(model, scene, cfg)
+    ref = est_a.run_sweep(128, chunk=32, keep_per_chunk=32, verbose=False)
+
+    est_b = StocsEstimator(model, scene, cfg)
+    est_b.run_sweep(
+        128, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt, stop_after_chunks=2,
+    )
+    # rewrite the checkpoint as a v1 file: drop chunk_slot_valid, version=1
+    with np.load(ckpt) as z:
+        arrays = {k: z[k] for k in z.files if k != "chunk_slot_valid"}
+    arrays["version"] = np.int64(1)
+    with open(ckpt, "wb") as f:
+        np.savez(f, **arrays)
+
+    est_c = StocsEstimator(model, scene, cfg)
+    res = est_c.run_sweep(
+        128, chunk=32, keep_per_chunk=32, verbose=False,
+        checkpoint_path=ckpt,
+    )
+    assert res[4]["completed"] is True
+    assert res[0] == ref[0]
+    assert np.array_equal(res[2], ref[2])
