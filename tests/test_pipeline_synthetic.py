@@ -192,3 +192,54 @@ def test_cluster_poses_covers_full_pool_after_ladder(setup):
     assert abs(len(s_ctf) - len(s_ex)) <= 2, (len(s_ctf), len(s_ex))
     assert s_ctf[0] == pytest.approx(ctf.best_lcp, abs=1e-5)
     assert (s_ctf >= 0).all(), "no -1 sentinel may survive into clustering"
+
+
+def test_fit_time_compaction_matches_score_time(setup):
+    """Without compact-cap overflow, fit-time compaction (_phase_fit
+    compact_cap>0 + precompacted_count) must produce the same scored
+    hypothesis SET — same values for every (base, quad) slot and the same
+    best pose — as fitting every slot and letting score_hybrid compact."""
+    from model_matching_tpu.estimator import (
+        _phase_fit, _phase_sample, _phase_score, _run_congruent,
+    )
+
+    model, scene, cfg, gt, _ = setup
+    # force the cap below B*K so compaction engages but no overflow occurs
+    b = 64
+    cap = 4096  # b*K = 12800 slots, valid far below 4096
+    ccfg = dataclasses.replace(
+        cfg, number_of_bases=b, score_compact_cap=cap
+    )
+    est = StocsEstimator(model, scene, ccfg)
+    ks, kc = jax.random.split(jax.random.PRNGKey(5))
+    bases = _phase_sample(ks, model.table, scene.pos, scene.normal,
+                          est.class_prob, scene.valid, ccfg, b,
+                          est.exists_bits())
+    sets = _run_congruent(kc, model, scene, bases, ccfg)
+
+    p_all, nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+                            model.centroid, bases, sets)
+    assert int(nsv) < cap  # no overflow: sets must agree exactly
+    s_all, i_all, b_all = _phase_score(
+        p_all, model, scene, est.class_prob, ccfg, True)
+
+    p_cmp, nsv2 = _phase_fit(scene.pos, model.pos, scene.centroid,
+                             model.centroid, bases, sets, compact_cap=cap)
+    assert int(nsv2) == int(nsv)
+    pre = jnp.minimum(nsv2, jnp.int32(cap))
+    s_cmp, i_cmp, b_cmp = _phase_score(
+        p_cmp, model, scene, est.class_prob, ccfg, True,
+        precompacted_count=pre)
+
+    # same best score and same winning pose
+    assert float(b_all) == float(b_cmp)
+    np.testing.assert_array_equal(
+        np.asarray(p_all.transform[int(i_all)]),
+        np.asarray(p_cmp.transform[int(i_cmp)]),
+    )
+    # same multiset of scored values across layouts (slot order differs)
+    sa = np.sort(np.asarray(s_all))
+    sb = np.sort(np.concatenate(
+        [np.asarray(s_cmp),
+         np.full(s_all.shape[0] - s_cmp.shape[0], -1.0, np.float32)]))
+    np.testing.assert_array_equal(sa, sb)
