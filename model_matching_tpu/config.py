@@ -129,6 +129,15 @@ class MatchConfig:
     # for full recall). 0 disables compaction. Does not apply to exact
     # (no-coarse-to-fine) scoring.
     score_compact_cap: int = 131072
+    # Absolute cap on the ladder's stage-2 width (score_hybrid's k_mid =
+    # min(mid_cap, 8% of slots), floored at refine_count). Stage 1's
+    # strided-subset ranking has a large safety margin: the exact-scorer
+    # argmax's worst observed stage-1 rank over 20 real 2048-base chunks
+    # is 168 (YCB, median 35) and 22 (LINEMOD, median 1)
+    # (scripts/probe_score_ladder.py), so a 4096-wide stage 2 keeps a
+    # >=24x margin while cutting the full-model field gathers ~2.6x at
+    # sweep scale. 0 = fraction-only (the pre-round-3 behavior).
+    score_mid_cap: int = 4096
     # Sweep pooling width: run_sweep / run_sweep_sharded keep the top-k
     # scored poses of every chunk and cluster the pooled winners; the
     # reference clusters every scored hypothesis

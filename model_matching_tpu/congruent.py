@@ -59,6 +59,33 @@ def tier_plan(p_cap: int):
     return tiers, (p_cap, 4096 if p_cap >= 8192 else None)
 
 
+def _topk_segmented(flat: jax.Array, k: int):
+    """Exact top_k over a large flat vector, computed as per-segment
+    top_k + a k*seg merge — the same (values, indices) lax.top_k returns,
+    bit-for-bit, including tie order.
+
+    Why identical: every global top-k element is inside its own segment's
+    top-k, so the union of per-segment winners contains the global set;
+    lax.top_k breaks value ties toward the LOWER index, per-segment
+    winners are emitted in (segment, rank) order which for equal values
+    is exactly ascending-flat-index order, so the merge's tie-break
+    reproduces the flat top_k's. Why faster: the dense congruent tiers'
+    selection ran one top_k over cap*sub = 131-262k slots (~0.31 ms/base,
+    scripts/probe_battery.py 'dense' block); the segmented form runs the
+    partial sorts over seg-fold smaller rows batched on the VPU.
+    Small inputs keep the single top_k (the merge only pays at dense
+    sizes)."""
+    n = flat.shape[0]
+    seg = 8
+    if n < 32768 or n % seg or k * seg > n // seg:
+        return jax.lax.top_k(flat, k)
+    per = n // seg
+    sv, si = jax.vmap(lambda x: jax.lax.top_k(x, k))(flat.reshape(seg, per))
+    si = si + (jnp.arange(seg, dtype=si.dtype) * per)[:, None]
+    top, mi = jax.lax.top_k(sv.reshape(-1), k)
+    return top, si.reshape(-1)[mi]
+
+
 class CongruentSets(NamedTuple):
     quads: jax.Array        # [B, K, 4] int32 model indices (p1, p2, q1, q2)
     quad_valid: jax.Array   # [B, K] bool
@@ -347,7 +374,7 @@ def extract_congruent_sets(
                 row_best = jnp.max(block_best, axis=0)
                 total = jnp.sum(btotals)
 
-            top, slot = jax.lax.top_k(
+            top, slot = _topk_segmented(
                 row_best.reshape(-1).astype(jnp.int32), k_cap
             )
             quad_valid = top > 0

@@ -228,6 +228,7 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
             compact_cap=cfg.score_compact_cap,
+            mid_cap=cfg.score_mid_cap,
             precompacted_count=precompacted_count,
         )
     else:

@@ -112,6 +112,7 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
         cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
         model_count=jnp.sum(model.valid.astype(jnp.float32)),
         compact_cap=cfg.score_compact_cap,
+        mid_cap=cfg.score_mid_cap,
     )
     idx, best = scoring.best_pose(scores)
     pose = fits["world_transform"].reshape(-1, 4, 4)[jnp.maximum(idx, 0)]

@@ -142,6 +142,7 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
             compact_cap=cfg.score_compact_cap,
+            mid_cap=cfg.score_mid_cap,
         )
     else:
         scores = scoring.score_transforms(

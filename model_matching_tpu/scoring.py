@@ -208,6 +208,7 @@ def score_hybrid(
     model_count=None,
     coarse_points: int = 64,
     mid_fraction: float = 0.08,
+    mid_cap: int = 4096,
     refine_count: int = 256,
     compact_cap: int = 0,
     bucket_stage1: bool = True,
@@ -217,7 +218,7 @@ def score_hybrid(
 
     1. dense field + strided model subset (every hypothesis — cheap unbiased
        rank estimate),
-    2. dense field + full model (top mid_fraction),
+    2. dense field + full model (top mid_fraction, capped at mid_cap),
     3. exact grid + full model (top refine_count) — final LCP values keep
        the reference's NN semantics for every hypothesis that can win.
 
@@ -282,7 +283,14 @@ def score_hybrid(
     else:
         coarse = coarse_at(h)
 
-    k_mid = min(h, max(refine_count, int(h * mid_fraction)))
+    frac = int(h * mid_fraction)
+    if mid_cap:
+        # absolute stage-2 width cap: the winner's stage-1 rank does not
+        # grow with the slot count (it measures ranking quality, not
+        # scale), so the fraction overshoots at sweep scale — measured
+        # margins in MatchConfig.score_mid_cap's docstring
+        frac = min(frac, mid_cap)
+    k_mid = min(h, max(refine_count, frac))
     _t, mid_idx = jax.lax.top_k(coarse, k_mid)
     mid = score_transforms_field(
         transforms[mid_idx], valid[mid_idx],
