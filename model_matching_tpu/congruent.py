@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 from .config import MatchConfig
 from .ops.ppf import ppf_bins
-from .ppf_table import PPFTable, gather_pair_srcs, lookup_pair_range
+from .ppf_table import (
+    PPFTable,
+    gather_pair_block_srcs,
+    gather_pair_srcs,
+    lookup_pair_range,
+)
 
 
 # smallest pair cap routed to the Pallas gate kernel (see match_block)
@@ -172,22 +177,15 @@ def extract_congruent_sets(
             * (d23 / jnp.maximum(jnp.linalg.norm(d23), 1e-30))
         )
 
-        def seg_points(src, inv):
+        def seg_from_rows(rows, inv):
             # the unit-cube map is affine (uniform scale + shift), so the
             # unit-space interpolant and the pair direction both derive
             # from the world-space endpoints (the reference interpolates
             # normalized points, pairCreationFunctor.h:71-75 +
             # stocs.cpp:808-818; equal up to f32 association, i.e. a
-            # possible last-ULP cell-edge flip). With ModelPack.pair_ep
-            # the (a, b - a) endpoint row is one 24-byte gather per pair;
-            # the fallback gathers pair indices + two position rows.
-            if pair_ep is not None:
-                ep = pair_ep[src]
-                aw, d = ep[:, 0:3], ep[:, 3:6]
-            else:
-                pr = table.pairs[src]
-                aw = model_pos[pr[:, 0]]
-                d = model_pos[pr[:, 1]] - aw
+            # possible last-ULP cell-edge flip). rows [L, 6] are the
+            # (a, b - a) endpoint rows (ModelPack.pair_ep layout).
+            aw, d = rows[:, 0:3], rows[:, 3:6]
             e_world = aw + inv * d
             e_unit = (e_world - center) / ratio + 0.5
             dirs = d / jnp.maximum(
@@ -206,17 +204,61 @@ def extract_congruent_sets(
 
         def match_block(cap, q_block=None):
             """Gather up to `cap` pairs per side and run the gate matrix +
-            random-subsample selection. The Q side is processed in chunks of
-            `q_block` (default: one chunk), bounding the [cap, q_block] gate
-            matrix so the densest PPF bins (VERDICT r1: an 11.6k-pair YCB
-            bin vs the old 8192 cap) fit without a monolithic [cap, cap]
-            intermediate."""
-            qb = q_block or cap
-            nb = cap // qb
-            p_src, p_ok, _pt = gather_pair_srcs(table, off1, cnt1, cap)
-            q_src, q_ok, _qt = gather_pair_srcs(table, off2, cnt2, cap)
+            random-subsample selection over the gathered lanes. Dense
+            tiers (cap >= 2048, pair_ep present) gather at 4-pair block
+            granularity, so pl/ql = cap + 4*slack lanes with per-lane
+            validity; small tiers keep the per-pair layout (pl = ql =
+            cap). The Q side is processed in nb = cap // q_block chunks,
+            bounding the [pl, ql/nb] gate matrix so the densest PPF bins
+            (VERDICT r1: an 11.6k-pair YCB bin vs the old 8192 cap) fit
+            without a monolithic [cap, cap] intermediate."""
+            qb_pairs = q_block or cap
+            nb = cap // qb_pairs
+            blocked = pair_ep is not None and cap >= 2048
+            npairs = table.pairs.shape[0]
 
-            e1_unit, e1_world, n1 = seg_points(p_src, inv1)
+            if blocked:
+                # dense tiers gather at 4-pair block granularity: one
+                # [4, 6] row per FOUR pairs (gather_pair_block_srcs),
+                # cutting the tier's dominant gather traffic ~4x for ~6%
+                # more lanes (cap + 4*slack). slack >= 128 (one boundary
+                # block per CSR range), padded so every Q chunk's lane
+                # count divides 256 (Pallas tiling + sub stripes).
+                slack = 256 if nb >= 4 else 128
+                ep4 = pair_ep.reshape(-1, 24)
+                lane4 = jnp.arange(4, dtype=jnp.int32)[None, :]
+
+                def side(off, cnt):
+                    bsrc, lok, _t = gather_pair_block_srcs(
+                        table, off, cnt, cap, 4, slack
+                    )
+                    lanes = bsrc.shape[0] * 4
+                    rows = ep4[bsrc].reshape(lanes, 6)
+                    src = jnp.clip(
+                        (bsrc[:, None] * 4 + lane4).reshape(lanes),
+                        0, npairs - 1,
+                    )
+                    return rows, lok.reshape(lanes), src
+            else:
+                def side(off, cnt):
+                    src, ok, _t = gather_pair_srcs(table, off, cnt, cap)
+                    if pair_ep is not None:
+                        rows = pair_ep[src]
+                    else:
+                        pr = table.pairs[src]
+                        aw = model_pos[pr[:, 0]]
+                        rows = jnp.concatenate(
+                            [aw, model_pos[pr[:, 1]] - aw], axis=1
+                        )
+                    return rows, ok, src
+
+            p_rows, p_ok, p_srcl = side(off1, cnt1)
+            q_rows, q_ok, q_srcl = side(off2, cnt2)
+            pl = p_rows.shape[0]
+            ql = q_rows.shape[0]
+            chunk = ql // nb
+
+            e1_unit, e1_world, n1 = seg_from_rows(p_rows, inv1)
             cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
             # pack the 3 cell coordinates into one int so equality is a
             # single [P, Q] compare (eg_size <= 1024 always: unit cube /
@@ -243,16 +285,20 @@ def extract_congruent_sets(
 
             salt = jax.random.bits(bkey, dtype=jnp.uint32)
             rp = _mix32_jnp(
-                jnp.arange(cap, dtype=jnp.uint32) ^ salt
+                jnp.arange(pl, dtype=jnp.uint32) ^ salt
             )[:, None]
-            col_bits = max(14, (cap - 1).bit_length())
+            col_bits = max(14, (ql - 1).bit_length())
             marker = jnp.uint32(1 << col_bits)
             rand_mask = jnp.uint32(
                 0x7FFFFFFF & ~((1 << (col_bits + 1)) - 1)
             )
             sub = 16
-            while qb % sub:
+            while chunk % sub:
                 sub //= 2
+
+            e2_unit, e2_world, n2 = seg_from_rows(q_rows, inv2)
+            cell2p = pack(jnp.floor(e2_unit * eg_size).astype(jnp.int32))
+            sq2 = jnp.sum(e2_world * e2_world, axis=-1)
 
             pallas_on = (
                 cfg.congruent_pallas
@@ -269,17 +315,11 @@ def extract_congruent_sets(
                 # measured -11% with the kernel at cap<=512); tests patch
                 # the threshold to exercise the kernel on small shapes
                 and cap >= _PALLAS_MIN_CAP
-                and cap % 256 == 0
-                and qb % 256 == 0
+                and pl % 256 == 0
+                and chunk % 256 == 0
             )
             if use_pallas:
                 from .ops import pallas_congruent as pc
-
-                e2_unit, e2_world, n2 = seg_points(q_src, inv2)
-                cell2p = pack(
-                    jnp.floor(e2_unit * eg_size).astype(jnp.int32)
-                )
-                sq2 = jnp.sum(e2_world * e2_world, axis=-1)
 
                 def feat(e, n, sq, cell, ok, tag):
                     # validity folds into the 16-bit cell halves: invalid
@@ -292,13 +332,13 @@ def extract_congruent_sets(
                         e.T, n.T, sq[None],
                         lo.astype(jnp.float32)[None],
                         hi.astype(jnp.float32)[None],
-                        jnp.zeros((7, cap), jnp.float32),
+                        jnp.zeros((7, e.shape[0]), jnp.float32),
                     ], axis=0)
 
                 pf = feat(e1_world, n1, sq1, cell1p, p_ok, -1)
                 qf = feat(e2_world, n2, sq2, cell2p, q_ok, -2)
                 rq_all = _mix32_jnp(
-                    jnp.arange(cap, dtype=jnp.uint32) ^ salt
+                    jnp.arange(ql, dtype=jnp.uint32) ^ salt
                     ^ jnp.uint32(0x9E3779B9)
                 )
                 bits = jax.lax.bitcast_convert_type
@@ -308,7 +348,7 @@ def extract_congruent_sets(
                     alpha, cfg.congruent_cos_tolerance,
                     jnp.float32(dist_thresh),
                     jnp.int32(rand_mask), jnp.int32(marker),
-                    q_tile=qb, p_tile=min(cap, 256),
+                    q_tile=chunk, p_tile=min(pl, 256),
                     # the kernel targets TPU Mosaic (pltpu memory spaces);
                     # every other backend — CPU, GPU, anything else — must
                     # run it in the interpreter or lowering fails
@@ -323,52 +363,55 @@ def extract_congruent_sets(
                 # fall through to the shared top_k/decode tail below
 
             def one_block(blk):
-                bi, qs, qok = blk
-                e2_unit, e2_world, n2 = seg_points(qs, inv2)
-                match = jnp.ones((cap, qb), bool)
+                bi, e2w, n2c, sq2c, c2p, qok = blk
+                match = jnp.ones((pl, chunk), bool)
                 if cfg.congruent_distance_mode == "cell":
-                    cell2p = pack(
-                        jnp.floor(e2_unit * eg_size).astype(jnp.int32)
-                    )
-                    match &= cell1p[:, None] == cell2p[None, :]
+                    match &= cell1p[:, None] == c2p[None, :]
                 # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides
                 # the MXU, avoiding a [P, Q, 3] broadcast intermediate
-                sq2 = jnp.sum(e2_world * e2_world, axis=-1)
                 d2 = (
-                    sq1[:, None] + sq2[None, :]
+                    sq1[:, None] + sq2c[None, :]
                     - 2.0 * jnp.dot(
-                        e1_world, e2_world.T,
+                        e1_world, e2w.T,
                         preferred_element_type=jnp.float32,
                     )
                 )
                 match &= d2 <= dist_thresh
                 if cfg.congruent_cos_tolerance >= 0:
-                    cos = n1 @ n2.T
+                    cos = n1 @ n2c.T
                     match &= (
                         jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
                     )
                 match &= p_ok[:, None] & qok[None, :] & bvalid
 
-                cols = jnp.arange(qb, dtype=jnp.uint32) + jnp.uint32(qb) * bi
+                cols = (
+                    jnp.arange(chunk, dtype=jnp.uint32)
+                    + jnp.uint32(chunk) * bi
+                )
                 rq = _mix32_jnp(cols ^ salt ^ jnp.uint32(0x9E3779B9))
                 v = ((rp ^ rq[None, :]) & rand_mask) | marker | cols[None, :]
                 v = jnp.where(match, v, jnp.uint32(0))
                 return (
-                    jnp.max(v.reshape(cap, sub, qb // sub), axis=2),
+                    jnp.max(v.reshape(pl, sub, chunk // sub), axis=2),
                     jnp.sum(match.astype(jnp.int32)),
                 )
 
             if use_pallas:
                 pass  # row_best/total computed by the kernel above
             elif nb == 1:
-                row_best, total = one_block((jnp.uint32(0), q_src, q_ok))
+                row_best, total = one_block(
+                    (jnp.uint32(0), e2_world, n2, sq2, cell2p, q_ok)
+                )
             else:
                 block_best, btotals = jax.lax.map(
                     one_block,
                     (
                         jnp.arange(nb, dtype=jnp.uint32),
-                        q_src.reshape(nb, qb),
-                        q_ok.reshape(nb, qb),
+                        e2_world.reshape(nb, chunk, 3),
+                        n2.reshape(nb, chunk, 3),
+                        sq2.reshape(nb, chunk),
+                        cell2p.reshape(nb, chunk),
+                        q_ok.reshape(nb, chunk),
                     ),
                 )
                 row_best = jnp.max(block_best, axis=0)
@@ -382,7 +425,7 @@ def extract_congruent_sets(
             qi = top & ((1 << col_bits) - 1)
             # pair-index gathers only for the selected winners
             quads = jnp.concatenate(
-                [table.pairs[p_src[pi]], table.pairs[q_src[qi]]], axis=-1
+                [table.pairs[p_srcl[pi]], table.pairs[q_srcl[qi]]], axis=-1
             ).astype(jnp.int32)
             return quads, quad_valid, total
 

@@ -23,6 +23,10 @@ from .ppf_table import PPFTable, load_ppf_table, resize_table
 _EXIST_FLOOR = 1 << 20
 _BIN_FLOOR = 1 << 19
 _PAIRS_FLOOR = 1 << 20
+# direct-mapped table floor: 2M dense keys (16 MB + 256 KB bitmap) covers
+# every bundled fixture; models needing more simply standardize at their
+# own (power-of-two) size and compile once
+_DIRECT_FLOOR = 1 << 21
 
 
 def _bucket_probes(p: int) -> int:
@@ -50,12 +54,18 @@ class ModelPack:
 
 
 def build_pair_ep(centered_pos, pairs) -> jax.Array:
-    """[total_pairs, 6] f32 rows (a.xyz, (b - a).xyz) from centered model
-    positions — the exact expressions the congruent gate's seg_points
-    evaluates, hoisted out of the per-chunk program."""
+    """[total_pairs (padded to 4), 6] f32 rows (a.xyz, (b - a).xyz) from
+    centered model positions — the exact expressions the congruent gate's
+    seg_points evaluates, hoisted out of the per-chunk program. Rows are
+    padded to a multiple of 4 so the dense tiers can view the table as
+    [P/4, 24] and gather one row per FOUR pairs (gather_pair_block_srcs)."""
     a = centered_pos[pairs[:, 0]]
     b = centered_pos[pairs[:, 1]]
-    return jnp.concatenate([a, b - a], axis=1)
+    ep = jnp.concatenate([a, b - a], axis=1)
+    pad = (-ep.shape[0]) % 4
+    if pad:
+        ep = jnp.pad(ep, ((0, pad), (0, 0)))
+    return ep
 
 
 def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
@@ -81,12 +91,17 @@ def load_model_pack(model_ply_path: str, table_path: str, capacity: int,
             table.exist_keys.shape[0] < _EXIST_FLOOR
             or table.bin_keys.shape[0] < _BIN_FLOOR
             or table.pairs.shape[0] != pairs_size
+            or (
+                table.bin_direct is not None
+                and table.bin_direct.shape[0] < _DIRECT_FLOOR
+            )
         ):
             table = resize_table(
                 table,
                 max(_EXIST_FLOOR, table.exist_keys.shape[0]),
                 max(_BIN_FLOOR, table.bin_keys.shape[0]),
                 pairs_size,
+                direct_size=_DIRECT_FLOOR,
             )
         import dataclasses as _dc
 

@@ -39,10 +39,17 @@ def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
     bins = max(int(m.table.bin_keys.shape[0]) for m in models)
     pairs = max(int(m.table.pairs.shape[0]) for m in models)
     mcap = max(int(m.pos.shape[0]) for m in models)
+    # the stacked tables must share one treedef: direct-mapped twins get a
+    # common size, or are dropped entirely if any model's key space
+    # exceeded DIRECT_CAP at load
+    if any(m.table.bin_direct is None for m in models):
+        direct = None
+    else:
+        direct = max(int(m.table.bin_direct.shape[0]) for m in models)
 
     out = []
     for m in models:
-        t = resize_table(m.table, exist, bins, pairs)
+        t = resize_table(m.table, exist, bins, pairs, direct_size=direct)
         n = m.pos.shape[0]
 
         def pad(a):

@@ -42,6 +42,99 @@ from .ops.ppf import (
 
 FORMAT_VERSION = 1
 
+# Direct-mapped table guard: the dense (offset, count) array is only built
+# when the model's dense key space fits in this many entries (8 bytes per
+# entry). PPF distance bins are bounded by the MODEL's diameter, so small
+# objects (every bundled fixture: ~2M dense keys, 16 MB) qualify easily;
+# meter-scale models fall back to the probing hash tables.
+DIRECT_CAP = 1 << 23
+
+
+def _dense_radix(rot_disc: int) -> int:
+    """Digit radix of the DENSE key packing used by the direct-mapped
+    tables. pack_key's radix-64 digits (ops/ppf.py:31) waste 64/37 per
+    angle digit at the default rot_disc=5 (angle quotients reach only
+    180/rot_disc); repacking at the tight radix shrinks the dense key
+    space ~5x, which is what makes a one-gather direct-mapped table
+    affordable. Must exceed every inserted angle quotient: snapped angle
+    bins reach exactly 180 (ppf binning, ops/ppf.py), so quotients reach
+    180 // rot_disc."""
+    return 180 // rot_disc + 1
+
+
+def dense_index_np(keys: np.ndarray, rot_disc: int, size: int) -> np.ndarray:
+    """Radix-64 packed key -> dense direct-table index, -1 when out of
+    range (alias-free: any digit >= the dense radix can never have been
+    inserted, so it is a guaranteed miss). Mirror of dense_index_jnp."""
+    ar = _dense_radix(rot_disc)
+    a3 = keys & 63
+    a2 = (keys >> 6) & 63
+    a1 = (keys >> 12) & 63
+    dq = (keys >> 18).astype(np.int64)
+    ok = (keys >= 0) & (a1 < ar) & (a2 < ar) & (a3 < ar)
+    idx = ((dq * ar + a1) * ar + a2) * ar + a3
+    ok &= idx < size
+    return np.where(ok, idx, -1).astype(np.int64)
+
+
+def dense_index_jnp(keys: jax.Array, rot_disc: int, size: int) -> jax.Array:
+    ar = _dense_radix(rot_disc)
+    a3 = keys & 63
+    a2 = (keys >> 6) & 63
+    a1 = (keys >> 12) & 63
+    dq = keys >> 18
+    ok = (keys >= 0) & (a1 < ar) & (a2 < ar) & (a3 < ar)
+    idx = ((dq * ar + a1) * ar + a2) * ar + a3
+    ok = ok & (idx < size)
+    return jnp.where(ok, idx, jnp.int32(-1))
+
+
+def _build_direct_np(
+    uniq_keys: np.ndarray,
+    offsets: np.ndarray,
+    counts: np.ndarray,
+    fan_keys: np.ndarray,
+    rot_disc: int,
+    min_size: int = 0,
+    cap: int = DIRECT_CAP,
+):
+    """Dense direct-mapped twins of the two hash tables:
+
+      * bin_direct [S, 2] int32 — (offset, count) at the dense key index,
+        zeros elsewhere (count 0 == miss), so a pair-range lookup is ONE
+        row gather instead of a bounded probe loop over the open table;
+      * exist_direct [S/32] uint32 — membership bitmap of the fanned-out
+        key set, so an existence check is one word gather + bit test.
+
+    S is the power-of-two cover of the model's largest dense key (>=
+    min_size for shape sharing across standardized models). Returns
+    (None, None) when S would exceed `cap` entries."""
+    ar = _dense_radix(rot_disc)
+    if ar > 64:
+        return None, None  # dense digits would not round-trip radix 64
+    kmax = -1
+    for k in (uniq_keys, fan_keys):
+        if k.size:
+            kmax = max(kmax, int(dense_index_np(k, rot_disc, 1 << 62).max()))
+    if kmax < 0:
+        return None, None
+    size = 1 << int(np.ceil(np.log2(max(kmax + 1, 32))))
+    size = max(size, min_size)
+    if size > cap:
+        return None, None
+    bin_direct = np.zeros((size, 2), np.int32)
+    bidx = dense_index_np(uniq_keys, rot_disc, size)
+    good = bidx >= 0
+    bin_direct[bidx[good], 0] = offsets[good].astype(np.int32)
+    bin_direct[bidx[good], 1] = counts[good].astype(np.int32)
+    exist_direct = np.zeros(size // 32, np.uint32)
+    eidx = dense_index_np(fan_keys, rot_disc, size)
+    eidx = eidx[eidx >= 0]
+    np.bitwise_or.at(
+        exist_direct, eidx >> 5, np.uint32(1) << (eidx & 31).astype(np.uint32)
+    )
+    return bin_direct, exist_direct
+
 
 def _mix32_np(key: np.ndarray) -> np.ndarray:
     """murmur3 finalizer — full-avalanche 32-bit mixer. PPF keys are highly
@@ -228,6 +321,13 @@ class PPFTable:
     exist_max_probes: int = dataclasses.field(metadata=dict(static=True))
     bin_max_probes: int = dataclasses.field(metadata=dict(static=True))
 
+    # direct-mapped twins (see _build_direct_np): present whenever the
+    # model's dense key space fits DIRECT_CAP — every bundled fixture does.
+    # When present, lookup_pair_range / ppf_exists are single gathers; the
+    # probing tables above remain the fallback (and the persisted format).
+    bin_direct: jax.Array | None = None    # [S, 2] int32 (offset, count)
+    exist_direct: jax.Array | None = None  # [S/32] uint32 bitmap
+
     @property
     def num_pairs(self) -> int:
         return self.pairs.shape[0]
@@ -347,6 +447,10 @@ def build_ppf_table(
     eocc = exist_table_idx >= 0
     exist_keys[eocc] = fan_keys[exist_table_idx[eocc]]
 
+    bin_direct, exist_direct = _build_direct_np(
+        uniq_keys, offsets, counts, fan_keys, rot_disc
+    )
+
     table = PPFTable(
         exist_keys=jnp.asarray(exist_keys),
         bin_keys=jnp.asarray(bin_keys),
@@ -357,12 +461,36 @@ def build_ppf_table(
         rot_disc=int(rot_disc),
         exist_max_probes=int(exist_probes),
         bin_max_probes=int(bin_probes),
+        bin_direct=None if bin_direct is None else jnp.asarray(bin_direct),
+        exist_direct=(
+            None if exist_direct is None else jnp.asarray(exist_direct)
+        ),
     )
     return table, max_distance
 
 
+def _direct_from_tables(
+    bin_keys: np.ndarray,
+    bin_offset: np.ndarray,
+    bin_count: np.ndarray,
+    exist_keys: np.ndarray,
+    rot_disc: int,
+    min_size: int = 0,
+):
+    """Rebuild the direct-mapped twins from the persisted open-addressing
+    content (loaders + resize; the npz format carries only the probing
+    tables, so old artifacts gain the direct path transparently)."""
+    occ = bin_keys >= 0
+    eocc = exist_keys >= 0
+    return _build_direct_np(
+        bin_keys[occ], bin_offset[occ], bin_count[occ],
+        exist_keys[eocc], rot_disc, min_size=min_size,
+    )
+
+
 def resize_table(
-    table: PPFTable, exist_size: int, bin_size: int, num_pairs: int
+    table: PPFTable, exist_size: int, bin_size: int, num_pairs: int,
+    direct_size: int | None = 0,
 ) -> PPFTable:
     """Rebuild a table's open-addressing layouts at the given power-of-two
     sizes and pad the pair array, so several models share identical shapes
@@ -399,6 +527,16 @@ def resize_table(
             [pairs, np.zeros((num_pairs - pairs.shape[0], 2), np.int32)]
         )
 
+    if direct_size is None:
+        # caller needs a direct-free table (multi-object stacking where
+        # one model's key space exceeds DIRECT_CAP: every stacked table
+        # must share a treedef)
+        bin_direct, exist_direct = None, None
+    else:
+        bin_direct, exist_direct = _direct_from_tables(
+            nb_keys, nb_off, nb_cnt, new_exist, table.rot_disc,
+            min_size=direct_size,
+        )
     return PPFTable(
         exist_keys=jnp.asarray(new_exist),
         bin_keys=jnp.asarray(nb_keys),
@@ -409,6 +547,10 @@ def resize_table(
         rot_disc=table.rot_disc,
         exist_max_probes=int(e_probes),
         bin_max_probes=int(b_probes),
+        bin_direct=None if bin_direct is None else jnp.asarray(bin_direct),
+        exist_direct=(
+            None if exist_direct is None else jnp.asarray(exist_direct)
+        ),
     )
 
 
@@ -445,6 +587,10 @@ def load_ppf_table(path: str) -> Tuple[PPFTable, dict]:
             raise ValueError(
                 f"unsupported ppf table version {meta.get('format_version')}"
             )
+        bin_direct, exist_direct = _direct_from_tables(
+            z["bin_keys"], z["bin_offset"], z["bin_count"],
+            z["exist_keys"], int(meta["rot_disc"]),
+        )
         table = PPFTable(
             exist_keys=jnp.asarray(z["exist_keys"]),
             bin_keys=jnp.asarray(z["bin_keys"]),
@@ -455,6 +601,12 @@ def load_ppf_table(path: str) -> Tuple[PPFTable, dict]:
             rot_disc=int(meta["rot_disc"]),
             exist_max_probes=int(meta["exist_max_probes"]),
             bin_max_probes=int(meta["bin_max_probes"]),
+            bin_direct=(
+                None if bin_direct is None else jnp.asarray(bin_direct)
+            ),
+            exist_direct=(
+                None if exist_direct is None else jnp.asarray(exist_direct)
+            ),
         )
     return table, meta
 
@@ -497,7 +649,14 @@ def probe_slots(table_keys: jax.Array, keys: jax.Array, max_probes: int):
 def ppf_exists(table: PPFTable, keys: jax.Array) -> jax.Array:
     """[B, N]-shaped existence check: the hot lookup of base sampling
     (reference does one std::map::find per scene point per round,
-    src/stocs.cpp:403-405)."""
+    src/stocs.cpp:403-405). With the direct-mapped bitmap this is one
+    word gather + bit test instead of a bounded probe loop."""
+    if table.exist_direct is not None:
+        nbits = table.exist_direct.shape[0] * 32
+        didx = dense_index_jnp(keys, table.rot_disc, nbits)
+        word = table.exist_direct[jnp.maximum(didx >> 5, 0)]
+        bit = (word >> (didx & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        return (didx >= 0) & (bit == jnp.uint32(1))
     return probe_slots(table.exist_keys, keys, table.exist_max_probes) >= 0
 
 
@@ -523,6 +682,16 @@ def lookup_pair_range(table: PPFTable, query_bins: jax.Array):
     # negative component) have no entries
     gate = (query_bins[0] > MIN_DISTANCE_BIN_MM) & (query_bins >= 0).all()
     keys = jnp.where(src_ok & gate, key, -1).astype(jnp.int32)
+
+    if table.bin_direct is not None:
+        # direct path: ONE [128, 2] row gather — the probing loop below
+        # cost 56.6 ms of a 2048-base fixture chunk's congruent phase
+        # (scripts/probe_onebase_decomp.py stage A)
+        didx = dense_index_jnp(keys, table.rot_disc,
+                               table.bin_direct.shape[0])
+        row = table.bin_direct[jnp.maximum(didx, 0)]
+        hit = didx >= 0
+        return jnp.where(hit, row[:, 0], 0), jnp.where(hit, row[:, 1], 0)
 
     slots = probe_slots(table.bin_keys, keys, table.bin_max_probes)
     hit = slots >= 0
@@ -567,3 +736,49 @@ def gather_pairs(table: PPFTable, offset: jax.Array, count: jax.Array, cap: int)
     """gather_pair_srcs + the [cap, 2] pair-index gather."""
     src, valid, total = gather_pair_srcs(table, offset, count, cap)
     return table.pairs[src], valid, total
+
+
+def gather_pair_block_srcs(
+    table: PPFTable, offset: jax.Array, count: jax.Array, cap: int,
+    block: int = 4, slack: int = 128,
+):
+    """Block-granular variant of gather_pair_srcs: flatten the <=128 CSR
+    ranges into `block`-pair-aligned block positions, so a caller reading
+    per-pair rows from an aligned table (ModelPack.pair_ep viewed as
+    [P/block, block*6]) issues ONE row gather per `block` pairs instead of
+    one per pair. XLA row gathers issue at a fixed rows/s rate regardless
+    of row width (docs/RESULTS.md, round-2 gather profile), so this cuts
+    the dense congruent tiers' dominant gather traffic ~block-fold.
+
+    Returns (bsrc [capb] block indices, lane_ok [capb, block], total
+    pairs) with capb = cap // block + slack. Each range covers blocks
+    [offset//block, ceil((offset+count)/block)); a block shared by two
+    adjacent ranges appears once per range with disjoint lane masks, so
+    every pair in range is produced exactly once. slack must be >= the
+    number of ranges (one boundary block each); callers may raise it for
+    tile-divisibility. On overflow (> cap total pairs) truncation happens
+    at block granularity, keeping slightly MORE than `cap` pairs —
+    callers treat cap as a tier floor, and the top tier warns upstream."""
+    capb = cap // block + slack
+    bstart = offset // block
+    bcnt = jnp.where(
+        count > 0, (offset + count + block - 1) // block - bstart, 0
+    )
+    cumb = jnp.cumsum(bcnt) - bcnt
+    ends = cumb + bcnt
+    t = jnp.arange(capb, dtype=jnp.int32)
+    r_idx = jnp.sum((ends[None, :] <= t[:, None]).astype(jnp.int32), axis=1)
+    r_idx = jnp.minimum(r_idx, count.shape[0] - 1)
+    g = bstart[r_idx] + (t - cumb[r_idx])
+    bvalid = t < jnp.sum(bcnt)
+    pair_lo = offset[r_idx]
+    pair_hi = offset[r_idx] + count[r_idx]
+    lanes = g[:, None] * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+    lane_ok = (
+        bvalid[:, None]
+        & (lanes >= pair_lo[:, None])
+        & (lanes < pair_hi[:, None])
+    )
+    max_block = (table.pairs.shape[0] + block - 1) // block
+    bsrc = jnp.clip(g, 0, max_block - 1)
+    return bsrc, lane_ok, jnp.sum(count)

@@ -52,6 +52,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--fixture", default="ycb", choices=["ycb", "linemod"])
+    ap.add_argument("--coarse", type=int, default=64)
     args = ap.parse_args()
 
     import jax
@@ -70,7 +71,7 @@ def main():
     cap = cfg.score_compact_cap
 
     m = model.pos.shape[0]
-    stride = max(1, m // 64)
+    stride = max(1, m // args.coarse)
     sub = slice(0, m, stride)
 
     @jax.jit

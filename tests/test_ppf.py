@@ -214,3 +214,74 @@ def test_fanout_keys_equivalence(rng):
     if native.available():
         got_native = native.fanout_pack(keys, tr, rot, deltas)
         np.testing.assert_array_equal(got_native, oracle)
+
+
+def test_direct_mapped_tables_match_probing(rng):
+    """The direct-mapped twins (bin_direct / exist_direct) must reproduce
+    the probing hash tables' results exactly: lookup_pair_range's
+    (offset, count) per fan-out key and ppf_exists membership, including
+    misses, negative keys, and out-of-range digits (a radix-64 digit >=
+    the dense radix can never have been inserted)."""
+    import dataclasses
+
+    import jax
+
+    pos = rng.normal(0, 0.05, (96, 3)).astype(np.float32)
+    nrm = rng.normal(0, 1, (96, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    table, _ = ppf_table.build_ppf_table(pos, nrm, 5, 5)
+    assert table.bin_direct is not None
+    assert table.exist_direct is not None
+    stripped = dataclasses.replace(
+        table, bin_direct=None, exist_direct=None
+    )
+
+    qb = rng.integers(-10, 400, (128, 4)).astype(np.int32)
+    qb[:, 1:] = rng.integers(-10, 200, (128, 3))
+    f_d = jax.jit(jax.vmap(lambda q: ppf_table.lookup_pair_range(table, q)))
+    f_p = jax.jit(jax.vmap(lambda q: ppf_table.lookup_pair_range(stripped, q)))
+    od, cd = f_d(jnp.asarray(qb))
+    op, cp = f_p(jnp.asarray(qb))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cp))
+    hit = np.asarray(cp) > 0
+    np.testing.assert_array_equal(np.asarray(od)[hit], np.asarray(op)[hit])
+
+    real = np.asarray(table.bin_keys)
+    real = real[real >= 0]
+    keys = np.concatenate([
+        real, rng.integers(-5, 1 << 24, (5000,)).astype(np.int32)
+    ])
+    ed = np.asarray(ppf_table.ppf_exists(table, jnp.asarray(keys)))
+    ep = np.asarray(ppf_table.ppf_exists(stripped, jnp.asarray(keys)))
+    np.testing.assert_array_equal(ed, ep)
+
+
+def test_direct_tables_survive_resize_and_share_shape(rng):
+    """resize_table rebuilds the direct twins at a shared min size (the
+    standardize / multi-object path) and direct_size=None drops them."""
+    # tight cloud: natural dense key space well under the 2M min_size,
+    # so the floor is what sets the shape
+    pos = rng.normal(0, 0.01, (64, 3)).astype(np.float32)
+    nrm = rng.normal(0, 1, (64, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    table, _ = ppf_table.build_ppf_table(pos, nrm, 5, 5)
+    big = ppf_table.resize_table(
+        table, table.exist_keys.shape[0], table.bin_keys.shape[0],
+        table.pairs.shape[0], direct_size=1 << 21,
+    )
+    assert big.bin_direct.shape[0] == 1 << 21
+    assert big.exist_direct.shape[0] == (1 << 21) // 32
+    qb = np.asarray(
+        ppf_table.unpack_key_np(
+            np.asarray(table.bin_keys[table.bin_keys >= 0])[:8], 5, 5
+        )
+    )
+    for i in range(qb.shape[0]):
+        o1, c1 = ppf_table.lookup_pair_range(table, jnp.asarray(qb[i]))
+        o2, c2 = ppf_table.lookup_pair_range(big, jnp.asarray(qb[i]))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    none = ppf_table.resize_table(
+        table, table.exist_keys.shape[0], table.bin_keys.shape[0],
+        table.pairs.shape[0], direct_size=None,
+    )
+    assert none.bin_direct is None and none.exist_direct is None
