@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .config import MatchConfig
 from .ops.ppf import ppf_bins
@@ -109,6 +110,41 @@ def _unit_cube_params(model_pos):
     return center, ratio
 
 
+def d2_test_implied(model_pos, cfg: MatchConfig) -> bool:
+    """Host-side static check: does same-cell membership already imply the
+    distance test, making the [P, Q] d2 matmul + compare redundant?
+
+    In cell mode two endpoints in the same grid cell are within
+    sqrt(3) * (ratio / eg_size) world units; with the reference's
+    unsquared-threshold quirk (d^2 <= distance_threshold, stocs.cpp:854)
+    the effective radius is sqrt(distance_threshold) — 10x the cell size
+    on the bundled fixtures — so cell equality subsumes the test. Checked
+    with a 1.5x safety factor on the squared bound to absorb f32
+    rounding. Returns False when model_pos is traced (inside jit, e.g.
+    the multi-object program): callers at a jit boundary compute it on
+    the concrete arrays and pass it through `d2_implied` instead.
+    Stacked [O, M, 3] packs must hold for EVERY object."""
+    if cfg.congruent_distance_mode != "cell":
+        return False
+    try:
+        mp = np.asarray(model_pos, dtype=np.float32)
+    except Exception:
+        return False  # traced: caller didn't precompute — keep the test
+    if mp.ndim == 3:
+        return all(d2_test_implied(m, cfg) for m in mp)
+    lo, hi = mp.min(axis=0), mp.max(axis=0)
+    ratio = np.float32((hi - lo + np.float32(0.001)).max())
+    eps_n = np.float32(cfg.distance_threshold) / ratio
+    eg_size = np.exp2(np.trunc(-np.log2(eps_n)))
+    cell = float(ratio / eg_size)
+    thresh = (
+        cfg.distance_threshold
+        if cfg.congruent_sqdist_quirk
+        else cfg.distance_threshold ** 2
+    )
+    return 4.5 * cell * cell <= thresh
+
+
 def extract_congruent_sets(
     key: jax.Array,
     table: PPFTable,
@@ -121,6 +157,7 @@ def extract_congruent_sets(
     base_valid: jax.Array,    # [B]
     cfg: MatchConfig,
     pair_ep: jax.Array | None = None,  # [total_pairs, 6] ModelPack.pair_ep
+    d2_implied: bool | None = None,    # None = auto (d2_test_implied)
 ) -> CongruentSets:
     """Dispatch: with `cfg.congruent_sorted_groups = G > 1` (default 8)
     bases are argsorted by pair-bin size ON DEVICE and processed G at a
@@ -142,6 +179,8 @@ def extract_congruent_sets(
     reference's own subsample is rand()-ordered,
     stocs_match_one_object.cpp:126-143; tests/test_congruent.py pins the
     set-level equivalence)."""
+    if d2_implied is None:
+        d2_implied = d2_test_implied(model_pos, cfg)
     center, ratio = _unit_cube_params(model_pos)
 
     # grid resolution: power-of-two cell matching the reference's
@@ -238,7 +277,13 @@ def extract_congruent_sets(
                         (bsrc[:, None] * 4 + lane4).reshape(lanes),
                         0, npairs - 1,
                     )
-                    return rows, lok.reshape(lanes), src
+                    # valid lanes are a block-compacted prefix: its length
+                    # bounds the Pallas kernel's dynamic grid
+                    bcnt = jnp.where(
+                        cnt > 0, (off + cnt + 3) // 4 - off // 4, 0
+                    )
+                    nlanes = jnp.minimum(jnp.sum(bcnt), bsrc.shape[0]) * 4
+                    return rows, lok.reshape(lanes), src, nlanes
             else:
                 def side(off, cnt):
                     src, ok, _t = gather_pair_srcs(table, off, cnt, cap)
@@ -250,10 +295,11 @@ def extract_congruent_sets(
                         rows = jnp.concatenate(
                             [aw, model_pos[pr[:, 1]] - aw], axis=1
                         )
-                    return rows, ok, src
+                    nlanes = jnp.minimum(jnp.sum(cnt), cap)
+                    return rows, ok, src, nlanes
 
-            p_rows, p_ok, p_srcl = side(off1, cnt1)
-            q_rows, q_ok, q_srcl = side(off2, cnt2)
+            p_rows, p_ok, p_srcl, p_lanes = side(off1, cnt1)
+            q_rows, q_ok, q_srcl, q_lanes = side(off2, cnt2)
             pl = p_rows.shape[0]
             ql = q_rows.shape[0]
             chunk = ql // nb
@@ -353,6 +399,14 @@ def extract_congruent_sets(
                     # every other backend — CPU, GPU, anything else — must
                     # run it in the interpreter or lowering fails
                     interpret=jax.default_backend() != "tpu",
+                    skip_dist=d2_implied,
+                    # compacted-prefix lane counts bound the dynamic grid:
+                    # gate work scales with the base's real pair counts,
+                    # not the tier cap (production-mix congruent phase
+                    # 273 -> 222 ms; a grid-size gate measured WORSE in
+                    # the mix despite winning forced-single-tier probes,
+                    # docs/RESULTS.md)
+                    p_count=p_lanes, q_count=q_lanes,
                 )
                 row_best = jnp.where(
                     bvalid, rb.astype(jnp.uint32), jnp.uint32(0)
@@ -367,16 +421,19 @@ def extract_congruent_sets(
                 match = jnp.ones((pl, chunk), bool)
                 if cfg.congruent_distance_mode == "cell":
                     match &= cell1p[:, None] == c2p[None, :]
-                # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term rides
-                # the MXU, avoiding a [P, Q, 3] broadcast intermediate
-                d2 = (
-                    sq1[:, None] + sq2c[None, :]
-                    - 2.0 * jnp.dot(
-                        e1_world, e2w.T,
-                        preferred_element_type=jnp.float32,
+                if not d2_implied:
+                    # ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b: the cross term
+                    # rides the MXU, avoiding a [P, Q, 3] broadcast
+                    # intermediate. Skipped when cell equality statically
+                    # implies the test (d2_test_implied).
+                    d2 = (
+                        sq1[:, None] + sq2c[None, :]
+                        - 2.0 * jnp.dot(
+                            e1_world, e2w.T,
+                            preferred_element_type=jnp.float32,
+                        )
                     )
-                )
-                match &= d2 <= dist_thresh
+                    match &= d2 <= dist_thresh
                 if cfg.congruent_cos_tolerance >= 0:
                     cos = n1 @ n2c.T
                     match &= (

@@ -102,14 +102,14 @@ def _phase_sample_instance(key, table, scene: ScenePack, class_prob,
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "d2_implied"))
 def _phase_congruent(key, table, model_pos, scene_pos, scene_normal,
                      bases: sampling.SampledBases, cfg: MatchConfig,
-                     pair_ep=None):
+                     pair_ep=None, d2_implied: bool = False):
     return congruent.extract_congruent_sets(
         key, table, model_pos, scene_pos, scene_normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
-        pair_ep=pair_ep,
+        pair_ep=pair_ep, d2_implied=d2_implied,
     )
 
 
@@ -119,6 +119,9 @@ def _run_congruent(key, model, scene, bases, cfg: MatchConfig):
     return _phase_congruent(
         key, model.table, model.pos, scene.pos, scene.normal, bases, cfg,
         pair_ep=model.pair_ep,
+        # model.pos is concrete here (jit boundary): resolve the static
+        # cell-implies-distance flag host-side
+        d2_implied=congruent.d2_test_implied(model.pos, cfg),
     )
 
 

@@ -85,7 +85,8 @@ def stack_models(aligned: Sequence[ModelPack]) -> ModelPack:
 
 
 def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
-               okey: jax.Array, cfg: MatchConfig):
+               okey: jax.Array, cfg: MatchConfig,
+               d2_implied: bool = False):
     """One object's full match: the reference's whole online run
     (src/stocs_match_one_object.cpp:51-185) as a fixed-shape program."""
     k_sample, k_cong = jax.random.split(okey)
@@ -102,7 +103,7 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
     sets = congruent.extract_congruent_sets(
         k_cong, model.table, model.pos, scene.pos, scene.normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-        cfg, pair_ep=model.pair_ep,
+        cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
     )
     b, k, _ = sets.quads.shape
     scene_quad = jnp.broadcast_to(
@@ -126,13 +127,15 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
     return best, pose, jnp.sum(valid.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "d2_implied"))
 def _match_all(stacked: ModelPack, scene: ScenePack, probs: jax.Array,
-               keys: jax.Array, cfg: MatchConfig):
+               keys: jax.Array, cfg: MatchConfig, d2_implied: bool = False):
     """One program: every object's full match as a lax.map over the stacked
-    pack. probs [O, P], keys [O, 2]."""
+    pack. probs [O, P], keys [O, 2]. d2_implied must hold for EVERY
+    stacked object (match_all_objects resolves it on the concrete pack)."""
     return jax.lax.map(
-        lambda args: _match_one(args[0], scene, args[1], args[2], cfg),
+        lambda args: _match_one(args[0], scene, args[1], args[2], cfg,
+                                d2_implied=d2_implied),
         (stacked, probs, keys),
     )
 
@@ -168,7 +171,8 @@ def match_all_objects(
         [jax.random.fold_in(key, o) for o in range(len(models))]
     )
     best, poses, nhyp = _match_all(
-        stacked, scene, jnp.asarray(probs), keys, cfg
+        stacked, scene, jnp.asarray(probs), keys, cfg,
+        d2_implied=congruent.d2_test_implied(stacked.pos, cfg),
     )
     # same silent-truncation guard as StocsEstimator.run / run_sweep:
     # score_hybrid compacts valid hypotheses to the front and drops

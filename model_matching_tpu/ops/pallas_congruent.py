@@ -39,7 +39,7 @@ SUB = 16  # candidates kept per P row (must match congruent.py's `sub`)
 
 def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
                  p_ref, q_ref, rp_ref, rq_ref,
-                 out_ref, cnt_ref):
+                 out_ref, cnt_ref, *, skip_dist: bool):
     j = pl.program_id(1)
     tq = q_ref.shape[1]
 
@@ -54,13 +54,6 @@ def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
     c2lo = q_ref[7:8, :]
     c2hi = q_ref[8:9, :]
 
-    d2 = (
-        sq1.T + sq2
-        - 2.0 * jax.lax.dot_general(
-            e1, e2, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    )                                   # [TP, TQ]
     cos = jax.lax.dot_general(
         n1, n2, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -70,9 +63,19 @@ def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
     match = (
         (c1lo.T == c2lo)
         & (c1hi.T == c2hi)
-        & (d2 <= thr_ref[0, 0])
         & (jnp.abs(cos - alpha) <= tol)
     )
+    if not skip_dist:
+        # skip_dist: cell equality statically implies the distance test
+        # (congruent.d2_test_implied) — the d2 matmul + compare is elided
+        d2 = (
+            sq1.T + sq2
+            - 2.0 * jax.lax.dot_general(
+                e1, e2, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )                               # [TP, TQ]
+        match &= d2 <= thr_ref[0, 0]
 
     cols = (
         jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
@@ -112,17 +115,32 @@ def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_tile", "p_tile", "interpret")
+    jax.jit,
+    static_argnames=("q_tile", "p_tile", "interpret", "skip_dist"),
 )
 def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
                rand_mask, marker, q_tile: int = 4096, p_tile: int = 256,
-               interpret: bool = False):
+               interpret: bool = False, skip_dist: bool = False,
+               p_count=None, q_count=None):
     """Row-stripe-max selection over the full [P, Q] gate matrix.
 
     p_feat/q_feat: [16, P] / [16, Q] f32 (see module docstring layout);
     rp/rq: [P] / [Q] int32 mixed random streams; alpha/tol/dist_thresh
     scalars; rand_mask/marker the packing constants of congruent.py.
-    Returns (row_best [P, SUB] int32, per-row match counts [P])."""
+    Returns (row_best [P, SUB] int32, per-row match counts [P]).
+
+    skip_dist (static): elide the d2 matmul + compare — only legal when
+    cell equality implies the distance test (congruent.d2_test_implied).
+
+    p_count / q_count (traced int32 scalars, optional): number of valid
+    lanes on each side. The gathered lanes are compacted valid-first
+    (gather_pair_srcs / gather_pair_block_srcs), so tiles beyond the
+    ceil(count/tile) prefix contain only invalid lanes whose tagged cell
+    halves can never match — the grid is bounded DYNAMICALLY to skip
+    them (Mosaic dynamic grid dims), making the quadratic gate work
+    proportional to the base's real pair counts instead of the tier cap.
+    Rows in never-executed P tiles are zero-masked after the call, which
+    is exactly what the full grid would have produced for them."""
     assert p_feat.shape[0] == 16 and q_feat.shape[0] == 16
     p = p_feat.shape[1]
     q = q_feat.shape[1]
@@ -132,9 +150,22 @@ def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
     maskc = jnp.array([[rand_mask]], jnp.int32)
     markc = jnp.array([[marker]], jnp.int32)
 
-    grid = (p // p_tile, q // q_tile)
+    if p_count is None:
+        pt = p // p_tile
+    else:
+        pt = jnp.clip(
+            (p_count + p_tile - 1) // p_tile, 1, p // p_tile
+        ).astype(jnp.int32)
+    if q_count is None:
+        qt = q // q_tile
+    else:
+        qt = jnp.clip(
+            (q_count + q_tile - 1) // q_tile, 1, q // q_tile
+        ).astype(jnp.int32)
+
+    grid = (pt, qt)
     row_best, counts = pl.pallas_call(
-        _gate_kernel,
+        functools.partial(_gate_kernel, skip_dist=skip_dist),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 2), lambda i, j: (0, 0),
@@ -167,4 +198,10 @@ def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
         interpret=interpret,
     )(scal, thr, maskc, markc, p_feat, q_feat,
       rp[None, :], rq[None, :])
+    if p_count is not None:
+        # zero the rows of P tiles the dynamic grid never executed
+        # (their output blocks are uninitialized memory)
+        written = jnp.arange(p, dtype=jnp.int32) < pt * p_tile
+        row_best = jnp.where(written[:, None], row_best, 0)
+        counts = jnp.where(written[:, None], counts, 0)
     return row_best, counts[:, 0]

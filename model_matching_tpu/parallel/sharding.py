@@ -91,7 +91,8 @@ def _globalize(tree, mesh: Mesh):
 
 
 def _local_hypotheses(key_local, model, scene, class_prob, bits,
-                      cfg: MatchConfig, b_local: int, coarse_to_fine: bool):
+                      cfg: MatchConfig, b_local: int, coarse_to_fine: bool,
+                      d2_implied: bool = False):
     """One device's share of a matching step: sample b_local bases ->
     congruent sets -> fits -> scores. Returns (scores [H], transforms
     [H,4,4], world_transforms [H,4,4], valid [H]). `bits` is the optional
@@ -112,7 +113,7 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
     sets = congruent.extract_congruent_sets(
         k_cong, model.table, model.pos, scene.pos, scene.normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-        cfg, pair_ep=model.pair_ep,
+        cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
     )
     b, k, _ = sets.quads.shape
     scene_quad = jnp.broadcast_to(
@@ -171,6 +172,7 @@ def matching_step_sharded(
             f"size {n_dev}"
         )
     b_local = cfg.number_of_bases // n_dev
+    d2 = congruent.d2_test_implied(model.pos, cfg)
 
     def body(model, scene, class_prob, key):
         # decorrelate the per-device RNG streams
@@ -178,7 +180,7 @@ def matching_step_sharded(
         key_local = jax.random.fold_in(key, dev)
         scores, transforms, world, valid = _local_hypotheses(
             key_local, model, scene, class_prob, None, cfg, b_local,
-            coarse_to_fine,
+            coarse_to_fine, d2_implied=d2,
         )
 
         # local best -> global argmax over the mesh
@@ -210,7 +212,8 @@ def _exists_bits(table, pos, normal, tr, rot):
 
 
 def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
-                         keep_local: int, coarse_to_fine: bool):
+                         keep_local: int, coarse_to_fine: bool,
+                         d2_implied: bool = False):
     """Jitted one-chunk sweep program over the mesh: every device runs
     b_local bases end to end, keeps its local top-k scored poses, and the
     pools are all_gathered so every device (and the host) sees the full
@@ -223,7 +226,7 @@ def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
         key_local = jax.random.fold_in(key, dev)
         scores, transforms, world, valid = _local_hypotheses(
             key_local, model, scene, class_prob, bits, cfg, b_local,
-            coarse_to_fine,
+            coarse_to_fine, d2_implied=d2_implied,
         )
         top, idx = jax.lax.top_k(scores, min(keep_local, scores.shape[0]))
         pool_s = jax.lax.all_gather(top, HYP_AXIS).reshape(-1)
@@ -292,7 +295,10 @@ def run_sweep_sharded(
         model.table, scene.pos, scene.normal,
         cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
     )
-    step = _sweep_chunk_program(mesh, cfg, b_local, keep_local, coarse_to_fine)
+    step = _sweep_chunk_program(
+        mesh, cfg, b_local, keep_local, coarse_to_fine,
+        d2_implied=congruent.d2_test_implied(model.pos, cfg),
+    )
 
     pool_s, pool_t, pool_w = [], [], []
     n_hyp_total = 0

@@ -133,3 +133,74 @@ def test_fanout_numpy_fallback_matches_native(rng, monkeypatch):
     monkeypatch.setattr(native, "fanout_pack", lambda *a, **k: None)
     pure_numpy = fanout_keys(keys, 5, 5)
     np.testing.assert_array_equal(with_native, pure_numpy)
+
+
+def test_dense_gate_dynamic_grid_matches_full(rng):
+    """p_count/q_count bound the kernel's grid dynamically; lanes are
+    compacted valid-first, so every skipped tile is all-invalid and the
+    result must equal the full static grid bit-for-bit (including the
+    zero-masking of never-executed P-tile rows)."""
+    from model_matching_tpu.ops.pallas_congruent import dense_gate
+
+    p, q, q_tile, p_tile = 512, 512, 256, 256
+    for p_cnt, q_cnt in ((512, 512), (300, 510), (256, 256), (1, 1), (0, 0)):
+        pf = rng.normal(0, 0.05, (16, p)).astype(np.float32)
+        qf = rng.normal(0, 0.05, (16, q)).astype(np.float32)
+        for f, n, cnt, tag in ((pf, p, p_cnt, -1), (qf, q, q_cnt, -2)):
+            cells = rng.integers(0, 6, n).astype(np.float32)
+            ok = np.arange(n) < cnt  # valid-first prefix
+            f[6] = (f[0:3] ** 2).sum(axis=0)
+            f[7] = np.where(ok, cells, tag)
+            f[8] = np.where(ok, 0.0, tag)
+        rp = rng.integers(-2**31, 2**31 - 1, p, dtype=np.int64).astype(np.int32)
+        rq = rng.integers(-2**31, 2**31 - 1, q, dtype=np.int64).astype(np.int32)
+        kw = dict(alpha=0.1, tol=0.5, dist_thresh=0.01,
+                  rand_mask=0x7FFF8000 & 0x7FFFFFFF, marker=1 << 14,
+                  q_tile=q_tile, p_tile=p_tile, interpret=True)
+        full = dense_gate(jnp.asarray(pf), jnp.asarray(qf),
+                          jnp.asarray(rp), jnp.asarray(rq), **kw)
+        dyn = dense_gate(jnp.asarray(pf), jnp.asarray(qf),
+                         jnp.asarray(rp), jnp.asarray(rq),
+                         p_count=jnp.int32(p_cnt), q_count=jnp.int32(q_cnt),
+                         **kw)
+        for a, b in zip(full, dyn):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"p_cnt={p_cnt} q_cnt={q_cnt}",
+            )
+
+
+def test_skip_dist_matches_when_implied(rng, monkeypatch):
+    """When cell equality statically implies the distance test
+    (d2_test_implied), forcing the test back on must not change the
+    extraction — on both the XLA and the (interpret-mode) Pallas path."""
+    monkeypatch.setattr(congruent, "_PALLAS_MIN_CAP", 256)
+    args, cfg = _setup(rng, 1024)
+    assert congruent.d2_test_implied(args[1], cfg)
+    # non-quirk squares the threshold: 4.5 * cell^2 no longer fits
+    assert not congruent.d2_test_implied(
+        args[1], dataclasses.replace(cfg, congruent_sqdist_quirk=False)
+    )
+    assert not congruent.d2_test_implied(
+        args[1], dataclasses.replace(cfg, congruent_distance_mode="dist")
+    )
+    key = jax.random.PRNGKey(11)
+    for pallas in (None, True):
+        c = dataclasses.replace(cfg, congruent_pallas=pallas)
+        skip = congruent.extract_congruent_sets(
+            key, *args, c, d2_implied=True
+        )
+        keep = congruent.extract_congruent_sets(
+            key, *args, c, d2_implied=False
+        )
+        np.testing.assert_array_equal(
+            np.asarray(skip.quad_valid), np.asarray(keep.quad_valid)
+        )
+        mv = np.asarray(keep.quad_valid)
+        np.testing.assert_array_equal(
+            np.asarray(skip.quads)[mv], np.asarray(keep.quads)[mv]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(skip.total_found), np.asarray(keep.total_found)
+        )
+        assert mv.any()
