@@ -94,7 +94,7 @@ def main():
         fence(poses.transform, "fit")
         pre_n = (jnp.minimum(nsv, jnp.int32(cap))
                  if (cap and slots > cap) else None)
-        scores, _i, _b = _phase_score(poses, model, scene, est.class_prob,
+        scores, _i, _b = _phase_score(poses, model, scene, est._score_prob(),
                                       cfg, True, precompacted_count=pre_n)
         fence(scores, "score")
         top, idx = jax.lax.top_k(scores, 256)
