@@ -125,6 +125,7 @@ def cmd_stocs_single(argv):
     from .model import load_model_pack
     from .ops.geometry import transform_points
     from .scene import load_scene
+    from .utils.host import fetch
 
     p = argparse.ArgumentParser(prog="stocs-single")
     p.add_argument("scene_path")
@@ -206,12 +207,12 @@ def cmd_stocs_single(argv):
         edge_path if os.path.exists(edge_path) else None,
         cfg,
     )
-    print(f"|S|: {int(scene.count())}")
-
-    sc = {
-        k: np.asarray(getattr(scene, k))
+    # one batched fetch for the debug artifacts (utils/host.py)
+    sc = fetch({
+        k: getattr(scene, k)
         for k in ("pos", "normal", "rgb", "valid", "centroid")
-    }
+    } | {"count": scene.count()})
+    print(f"|S|: {int(sc['count'])}")
     live = sc["valid"]
     ply.write_ply(
         os.path.join(dbg, "sampled_scene.ply"),
@@ -310,7 +311,8 @@ def cmd_stocs_single(argv):
 
         # visualize_best_pose parity (stocs.hpp:137-149): transformed model +
         # scene, both in the centered frame
-        mp = np.asarray(model.pos)[np.asarray(model.valid)]
+        mh = fetch(dict(pos=model.pos, valid=model.valid))
+        mp = mh["pos"][mh["valid"]]
         moved = np.asarray(
             transform_points(result.best_transform, mp)
         )
@@ -325,16 +327,17 @@ def cmd_stocs_single(argv):
     if args.heatmap:
         from . import viz
 
-        pix = np.asarray(scene.pixel)[live]
+        hh = fetch(dict(
+            pix=scene.pixel, prob=est.class_prob,
+            mpos=model.pos, mvalid=model.valid, mc=model.centroid,
+        ))
         viz.visualize_heatmap(
-            pix, np.asarray(est.class_prob)[live], [],
+            hh["pix"][live], hh["prob"][live], [],
             os.path.join(dbg, "probability_heatmap.png"),
             cfg.image_width, cfg.image_height,
         )
         if result.best_index >= 0:
-            mp = np.asarray(model.pos)[np.asarray(model.valid)] + np.asarray(
-                model.centroid
-            )
+            mp = hh["mpos"][hh["mvalid"]] + hh["mc"]
             viz.overlay_pose(
                 os.path.join(args.scene_path, "rgb.png"), mp,
                 result.best_world_transform, *cfg.camera.as_tuple(),

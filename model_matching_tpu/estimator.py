@@ -33,6 +33,7 @@ from .model import ModelPack
 from .ops import fit as fit_ops
 from .scene import ScenePack
 from .types import PoseCandidates
+from .utils.host import fetch
 
 
 @dataclasses.dataclass
@@ -310,6 +311,12 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
     run is otherwise stateless, like the reference's one-shot binaries —
     this extends SURVEY section 5's persisted-state inventory to
     preemptible large sweeps)."""
+    # one batched fetch for the device arrays (utils/host.py)
+    dev = fetch(dict(
+        pool_s=pool_s, pool_t=pool_t, pool_w=pool_w,
+        chunk_valid=chunk_valid, chunk_slot_valid=chunk_slot_valid,
+        class_prob=(class_prob if prob_decayed else None),
+    ))
     arrays = dict(
         version=np.int64(_SWEEP_CKPT_VERSION),
         next_chunk=np.int64(next_chunk),
@@ -318,17 +325,17 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
         kp=np.int64(kp),
         cfg_fp=np.frombuffer(cfg_fp.encode(), dtype=np.uint8),
         use_instance=np.bool_(use_instance),
-        pool_s=np.asarray(pool_s),
-        pool_t=np.asarray(pool_t),
-        pool_w=np.asarray(pool_w),
-        chunk_valid=np.asarray(chunk_valid),
-        chunk_slot_valid=np.asarray(chunk_slot_valid),
+        pool_s=dev["pool_s"],
+        pool_t=dev["pool_t"],
+        pool_w=dev["pool_w"],
+        chunk_valid=dev["chunk_valid"],
+        chunk_slot_valid=dev["chunk_slot_valid"],
         unconverged=np.int64(unconverged),
         elapsed=np.float64(elapsed),
         prob_decayed=np.bool_(prob_decayed),
     )
     if prob_decayed:
-        arrays["class_prob"] = np.asarray(class_prob)
+        arrays["class_prob"] = dev["class_prob"]
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez(f, **arrays)
@@ -397,22 +404,31 @@ def finish_sweep_pool(pool_s, pool_t, pool_w, model: ModelPack,
 
     Returns (best_lcp, best_world_transform, clustered_transforms,
     clustered_lcp, stats)."""
-    best_i = int(jnp.argmax(pool_s))
-    best_lcp = float(pool_s[best_i])
-    best_w = np.asarray(pool_w[best_i])
+    # three batched fetches total (argmax group, refine group, cluster
+    # group) — serial host reads cost ~25 ms each on the tunnel
+    # (utils/host.py); the winner row rides a device-index gather
+    bi_dev = jnp.argmax(pool_s)
+    h = fetch(dict(
+        bi=bi_dev, best=pool_s[bi_dev], best_w=pool_w[bi_dev],
+        sc=scene.centroid, mc=model.centroid,
+    ))
+    best_i = int(h["bi"])
+    best_lcp = float(h["best"])
+    best_w = np.asarray(h["best_w"])
     raw_best = best_lcp
 
     if cfg.refine_best_pose and best_lcp > 0:
         refined, new_lcp = _phase_refine(
             pool_t[best_i], model, scene, class_prob, cfg
         )
-        if float(new_lcp) >= best_lcp:
+        rh = fetch(dict(refined=refined, new_lcp=new_lcp))
+        if float(rh["new_lcp"]) >= best_lcp:
             a = np.eye(4, dtype=np.float32)
-            a[:3, 3] = np.asarray(scene.centroid)
+            a[:3, 3] = h["sc"]
             bmat = np.eye(4, dtype=np.float32)
-            bmat[:3, 3] = -np.asarray(model.centroid)
-            best_w = a @ np.asarray(refined) @ bmat
-            best_lcp = float(new_lcp)
+            bmat[:3, 3] = -h["mc"]
+            best_w = a @ np.asarray(rh["refined"]) @ bmat
+            best_lcp = float(rh["new_lcp"])
     elapsed = time.perf_counter() - t_start
 
     cidx, cmask = clustering.greedy_clustering(
@@ -422,7 +438,8 @@ def finish_sweep_pool(pool_s, pool_t, pool_w, model: ModelPack,
         cfg.cluster_min_angle,
         jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
     )
-    sel = np.asarray(cidx)[np.asarray(cmask)]
+    ch = fetch(dict(cidx=cidx, cmask=cmask, pw=pool_w, ps=pool_s))
+    sel = ch["cidx"][ch["cmask"]]
     stats = {
         "total_bases": total_bases,
         "hypotheses": n_hyp_total,
@@ -442,7 +459,7 @@ def finish_sweep_pool(pool_s, pool_t, pool_w, model: ModelPack,
         )
     return (
         best_lcp, best_w,
-        np.asarray(pool_w)[sel], np.asarray(pool_s)[sel], stats,
+        ch["pw"][sel], ch["ps"][sel], stats,
     )
 
 
@@ -511,19 +528,9 @@ class StocsEstimator:
                 cfg, cfg.number_of_bases,
             )
             inst = jax.block_until_ready(inst)
-            n_unconverged = int(jnp.sum(~inst.fill_converged))
-            if n_unconverged:
-                from .utils.log import warn
-
-                warn(
-                    f"{n_unconverged} flood fills did not reach their BFS "
-                    f"fixpoint in flood_fill_sweeps="
-                    f"{cfg.flood_fill_sweeps} sweeps — segments under-fill; "
-                    f"raise the sweep count for scenes with winding "
-                    f"free-space regions",
-                    n_unconverged=n_unconverged,
-                    sweeps=cfg.flood_fill_sweeps,
-                )
+            # device-side; joins the single batched fetch below (each
+            # extra host read costs ~25 ms on the tunnel, utils/host.py)
+            unconv_dev = jnp.sum(~inst.fill_converged)
             bases = sampling.SampledBases(
                 inst.indices, inst.invariant1, inst.invariant2, inst.valid
             )
@@ -540,11 +547,9 @@ class StocsEstimator:
                 bits,
             )
             bases = jax.block_until_ready(bases)
+            unconv_dev = None
         timings["sample_bases"] = time.perf_counter() - t0
-        n_bases = int(jnp.sum(bases.valid))
-        if verbose:
-            print(f"Sampled {n_bases} bases in "
-                  f"{timings['sample_bases']*1e6:.0f} us")
+        n_bases_dev = jnp.sum(bases.valid.astype(jnp.int32))
 
         t0 = time.perf_counter()
         sets = _run_congruent(k_cong, self.model, self.scene, bases, cfg)
@@ -560,14 +565,57 @@ class StocsEstimator:
         )
         poses = jax.block_until_ready(poses)
         timings["rigid_fit"] = time.perf_counter() - t0
-        n_hyp = int(jnp.sum(poses.valid))
-        n_slot_valid = int(n_slot_valid)
+        slots = bases.valid.shape[0] * cfg.maximum_congruent_sets
+
+        t0 = time.perf_counter()
+        pre_n = (
+            jnp.minimum(n_slot_valid, jnp.int32(cap))
+            if (fit_cap and slots > cap) else None
+        )
+        scores, idx, best = _phase_score(
+            poses, self.model, self.scene, self._score_prob(), cfg,
+            coarse_to_fine, precompacted_count=pre_n,
+        )
+        scores = jax.block_until_ready(scores)
+        timings["scoring"] = time.perf_counter() - t0
+
+        poses = dataclasses.replace(poses, lcp=scores)
+        # ONE batched fetch for every host-side scalar and the winner rows
+        # (utils/host.py: serial reads cost ~25 ms each on the tunnel; the
+        # winner rows ride the batch via a device-index gather)
+        safe_i = jnp.maximum(idx, 0)
+        host = fetch(dict(
+            idx=idx, best=best, n_bases=n_bases_dev,
+            n_hyp=jnp.sum(poses.valid.astype(jnp.int32)),
+            n_slot_valid=n_slot_valid,
+            pair_max=jnp.max(sets.pair_counts),
+            total_sets=jnp.sum(sets.total_found),
+            best_t=poses.transform[safe_i],
+            best_w=poses.world_transform[safe_i],
+            unconv=unconv_dev,
+        ))
+        n_bases = int(host["n_bases"])
+        n_hyp = int(host["n_hyp"])
+        n_slot_valid = int(host["n_slot_valid"])
+        pair_max = int(host["pair_max"])
+        if unconv_dev is not None and int(host["unconv"]):
+            from .utils.log import warn
+
+            warn(
+                f"{int(host['unconv'])} flood fills did not reach their BFS "
+                f"fixpoint in flood_fill_sweeps="
+                f"{cfg.flood_fill_sweeps} sweeps — segments under-fill; "
+                f"raise the sweep count for scenes with winding "
+                f"free-space regions",
+                n_unconverged=int(host["unconv"]),
+                sweeps=cfg.flood_fill_sweeps,
+            )
         if verbose:
-            total_sets = int(jnp.sum(sets.total_found))
-            print(f"found {total_sets} congruent sets "
+            print(f"Sampled {n_bases} bases in "
+                  f"{timings['sample_bases']*1e6:.0f} us")
+            print(f"found {int(host['total_sets'])} congruent sets "
                   f"({n_hyp} hypotheses) in "
                   f"{(timings['congruent_sets']+timings['rigid_fit'])*1e6:.0f} us")
-        pair_max = int(jnp.max(sets.pair_counts))
         if pair_max > cfg.max_pairs_per_bin:
             from .utils.log import warn
 
@@ -577,7 +625,6 @@ class StocsEstimator:
                 f"raise the cap for full recall",
                 pair_max=pair_max, cap=cfg.max_pairs_per_bin,
             )
-        slots = bases.valid.shape[0] * cfg.maximum_congruent_sets
         if coarse_to_fine and cap and slots > cap and n_slot_valid > cap:
             from .utils.log import warn
 
@@ -588,31 +635,18 @@ class StocsEstimator:
                 f"full recall",
                 n_valid=n_slot_valid, cap=cap,
             )
-
-        t0 = time.perf_counter()
-        pre_n = (
-            jnp.minimum(jnp.int32(n_slot_valid), jnp.int32(cap))
-            if (fit_cap and slots > cap) else None
-        )
-        scores, idx, best = _phase_score(
-            poses, self.model, self.scene, self._score_prob(), cfg,
-            coarse_to_fine, precompacted_count=pre_n,
-        )
-        scores = jax.block_until_ready(scores)
-        timings["scoring"] = time.perf_counter() - t0
         if verbose:
             print(f"evaluated transforms in {timings['scoring']*1e6:.0f} us")
 
-        poses = dataclasses.replace(poses, lcp=scores)
-        best_index = int(idx)
-        best_lcp = float(best)
+        best_index = int(host["idx"])
+        best_lcp = float(host["best"])
         if verbose:
             print(f"best index: {best_index}, maximum score: {best_lcp}")
 
         best_t = best_w = None
         if best_index >= 0:
-            best_t = np.asarray(poses.transform[best_index])
-            best_w = np.asarray(poses.world_transform[best_index])
+            best_t = np.asarray(host["best_t"])
+            best_w = np.asarray(host["best_w"])
 
         # point-to-plane ICP polish of the winner (library capability of the
         # reference, never called by its CLI; kept when it scores >= raw)
@@ -622,16 +656,19 @@ class StocsEstimator:
                 jnp.asarray(best_t), self.model, self.scene,
                 self._score_prob(), cfg,
             )
-            refined = jax.block_until_ready(refined)
-            new_lcp = float(new_lcp)
+            rhost = fetch(dict(
+                refined=refined, new_lcp=new_lcp,
+                sc=self.scene.centroid, mc=self.model.centroid,
+            ))
+            new_lcp = float(rhost["new_lcp"])
             timings["icp_refine"] = time.perf_counter() - t0
             if new_lcp >= best_lcp:
-                best_t = np.asarray(refined)
+                best_t = np.asarray(rhost["refined"])
                 # world = T(+scene_centroid) centered T(-model_centroid)
                 a = np.eye(4, dtype=np.float32)
-                a[:3, 3] = np.asarray(self.scene.centroid)
+                a[:3, 3] = rhost["sc"]
                 b = np.eye(4, dtype=np.float32)
-                b[:3, 3] = -np.asarray(self.model.centroid)
+                b[:3, 3] = -rhost["mc"]
                 best_w = a @ best_t @ b
                 best_lcp = new_lcp
                 if verbose:
@@ -660,8 +697,8 @@ class StocsEstimator:
             timings=timings,
             stats={
                 "hypotheses_per_sec": hyps_per_sec,
-                "congruent_total": int(jnp.sum(sets.total_found)),
-                "pair_count_max": int(jnp.max(sets.pair_counts)),
+                "congruent_total": int(host["total_sets"]),
+                "pair_count_max": pair_max,
             },
         )
 
@@ -849,8 +886,16 @@ class StocsEstimator:
                     and done_this_call % max(1, checkpoint_every) == 0):
                 save_ckpt(ci + 1)
         completed = stopped_at is None
+        # one batched fetch for the loop's deferred device-side counters
+        th = fetch(dict(
+            unconv=(jnp.stack(unconverged).sum() if unconverged else None),
+            nvs=jnp.stack([jnp.asarray(v, jnp.int32) for v in chunk_valid]),
+            slvs=jnp.stack(
+                [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
+            ),
+        ))
         n_unconverged = resumed_unconverged + (
-            int(jnp.stack(unconverged).sum()) if unconverged else 0
+            int(th["unconv"]) if th["unconv"] is not None else 0
         )
         if n_unconverged:
             from .utils.log import warn
@@ -861,15 +906,11 @@ class StocsEstimator:
                 f"{cfg.flood_fill_sweeps} sweeps — segments under-fill",
                 n_unconverged=n_unconverged, sweeps=cfg.flood_fill_sweeps,
             )
-        nvs = np.asarray(
-            jnp.stack([jnp.asarray(v, jnp.int32) for v in chunk_valid])
-        )
+        nvs = th["nvs"]
         n_hyp_total = int(nvs.sum())
         # the overflow check uses the PRE-compaction congruent-valid counts
         # (fit now compacts to the cap, so fit-valid counts never exceed it)
-        slvs = np.asarray(
-            jnp.stack([jnp.asarray(v, jnp.int32) for v in chunk_slot_valid])
-        )
+        slvs = th["slvs"]
         cap = cfg.score_compact_cap
         slots = chunk * cfg.maximum_congruent_sets
         if cap and slots > cap and slvs.max() > cap:
@@ -932,10 +973,9 @@ class StocsEstimator:
             cfg.cluster_min_angle,
             jnp.asarray(cfg.cluster_symmetry, dtype=jnp.float32),
         )
-        idx = np.asarray(idx)
-        mask = np.asarray(mask)
-        sel = idx[mask]
-        return (
-            np.asarray(poses.world_transform)[sel],
-            np.asarray(poses.lcp)[sel],
-        )
+        h = fetch(dict(
+            idx=idx, mask=mask,
+            pw=poses.world_transform, ps=poses.lcp,
+        ))
+        sel = h["idx"][h["mask"]]
+        return (h["pw"][sel], h["ps"][sel])

@@ -31,6 +31,7 @@ from .model import ModelPack
 from .ops import fit as fit_ops
 from .ppf_table import resize_table
 from .scene import ScenePack
+from .utils.host import fetch
 
 
 def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
@@ -179,7 +180,10 @@ def match_all_objects(
     # overflow beyond score_compact_cap without scoring it
     cap = cfg.score_compact_cap
     slots = cfg.number_of_bases * cfg.maximum_congruent_sets
-    nh = np.asarray(nhyp)
+    # one batched fetch (utils/host.py): callers index per object, and
+    # serial host reads cost ~25 ms each on the tunneled TPU
+    best, poses, nhyp = fetch((best, poses, nhyp))
+    nh = nhyp
     if cap and slots > cap and int(nh.max()) > cap:
         from .utils.log import warn
 

@@ -31,6 +31,7 @@ from .io import image as imio
 from .ops import geometry, normals as normals_ops, voxel
 from .ops.densefield import DenseField, build_dense_field
 from .ops.gridhash import NeighborGrid, build_neighbor_grid
+from .utils.host import fetch
 
 
 @jax.tree_util.register_dataclass
@@ -184,7 +185,22 @@ def load_scene_multi(
         jnp.asarray(rgb), jnp.asarray(depth), jnp.asarray(probs),
         jnp.asarray(edge), cfg,
     )
-    truncated = int(out["truncated"])
+    # ONE batched fetch for everything the host-side grid builds need
+    # (utils/host.py: serial np.asarray reads cost ~25 ms each on the
+    # tunneled TPU; this is also the process's first, poisoning D2H)
+    host = fetch(dict(
+        truncated=out["truncated"], pos=out["pos"], valid=out["valid"],
+        normal=out["normal"],
+        # bake object-0 class probabilities into the scoring structures
+        # only when that is unambiguous (single probability map): scorers
+        # may then be called with scene_class_prob=None to skip the prob
+        # gathers. Multi-object scenes score each object with its own
+        # prob vector, and the instance path scores with decayed copies —
+        # both keep gathering.
+        prob0=(out["class_prob"][0] if len(class_prob_paths) == 1
+               else None),
+    ))
+    truncated = int(host["truncated"])
     if truncated > 0:
         from .utils.log import warn
 
@@ -193,24 +209,19 @@ def load_scene_multi(
             f"points — raise MatchConfig.max_scene_points",
             dropped=truncated, cap=cfg.max_scene_points,
         )
-    host_pos = np.asarray(out["pos"])
-    host_valid = np.asarray(out["valid"])
-    # bake object-0 class probabilities into the scoring structures only
-    # when that is unambiguous (single probability map): scorers may then
-    # be called with scene_class_prob=None to skip the prob gathers.
-    # Multi-object scenes score each object with its own prob vector, and
-    # the instance path scores with decayed copies — both keep gathering.
+    host_pos = host["pos"]
+    host_valid = host["valid"]
+    host_nrm = host["normal"][host_valid]
     host_prob = (
-        np.asarray(out["class_prob"][0])[host_valid]
-        if len(class_prob_paths) == 1 else None
+        host["prob0"][host_valid] if host["prob0"] is not None else None
     )
     grid = build_neighbor_grid(
         host_pos[host_valid], cell_size=cfg.distance_threshold,
-        normal=np.asarray(out["normal"])[host_valid],
+        normal=host_nrm,
         prob=host_prob,
     )
     field = build_dense_field(
-        host_pos[host_valid], np.asarray(out["normal"])[host_valid],
+        host_pos[host_valid], host_nrm,
         cfg.distance_threshold,
         prob=host_prob,
     )
