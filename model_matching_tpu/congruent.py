@@ -546,14 +546,41 @@ def extract_congruent_sets(
         )
         gmax = loads[order].reshape(b // g, g).max(axis=1)
 
+        # dense tiers (cap >= _PALLAS_MIN_CAP) may batch across the group
+        # only when the Pallas gate will take them: the kernel's tiled
+        # [p_tile, q_tile] working set is batch-invariant under vmap
+        # (scripts/probe_dense_decomp.py: cap-8192 stage E 112 -> 93.5 ms
+        # sync-adjusted at bw=8, the dynamic-grid kernel vmaps cleanly),
+        # while the XLA fallback would materialize [w, pl, chunk] gate
+        # matrices — so non-Pallas configs keep the sequential lax.map
+        pallas_on = (
+            cfg.congruent_pallas
+            if cfg.congruent_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
+        dense_w = (
+            min(g, 8)
+            if (pallas_on and cfg.congruent_distance_mode == "cell"
+                and cfg.congruent_cos_tolerance >= 0)
+            else 1
+        )
+
         def run_tier(tier, ga):
             cap = tier[0]
             f = lambda a: one_base(a, fixed_tier=tier)
             # vmap width per tier: sparse tiers batch the whole group
             # (their [cap, cap] matrices are small), the 4096 tier
-            # batches 4, Q-blocked tiers stay sequential — keeps the
-            # widest transient at ~[16, 1024, 1024] f32
-            w = g if cap <= 1024 else (min(g, 4) if cap <= 4096 else 1)
+            # batches 4, Pallas-gated dense tiers batch 8 (see dense_w),
+            # non-Pallas dense tiers stay sequential — keeps the widest
+            # XLA transient at ~[16, 1024, 1024] f32
+            if cap <= 1024:
+                w = g
+            elif dense_w > 1 and cap >= _PALLAS_MIN_CAP:
+                w = dense_w
+            elif cap <= 4096:
+                w = min(g, 4)
+            else:
+                w = 1
             while g % w:
                 w -= 1
             if w <= 1:

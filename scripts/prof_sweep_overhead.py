@@ -48,7 +48,8 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{label}: {dt:.1f} s wall ({stats['seconds']:.1f} s "
               f"internal, {stats['bases_per_sec']:.0f} bases/s), "
-              f"lcp {best_lcp:.4f}, {len(cl_w)} clusters", flush=True)
+              f"lcp {best_lcp:.4f}, {len(cl_w)} clusters, "
+              f"{stats['hypotheses']} hypotheses", flush=True)
 
 
 if __name__ == "__main__":
