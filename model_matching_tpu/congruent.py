@@ -93,10 +93,23 @@ def _topk_segmented(flat: jax.Array, k: int):
 
 
 class CongruentSets(NamedTuple):
-    quads: jax.Array        # [B, K, 4] int32 model indices (p1, p2, q1, q2)
+    pairs: jax.Array        # [B, K, 2] int32 winner rows into table.pairs
+    #                         (P-side pair, Q-side pair); decode to 4-point
+    #                         model quads with quads_of(table, sets.pairs)
     quad_valid: jax.Array   # [B, K] bool
     total_found: jax.Array  # [B] int32 (pre-cap count, for truncation stats)
     pair_counts: jax.Array  # [B, 2] int32 (|P_pairs|, |Q_pairs|)
+
+
+def quads_of(table: PPFTable, pairs: jax.Array) -> jax.Array:
+    """[..., 2] winner pair rows -> [..., 4] model point indices
+    (p1, p2, q1, q2) — the reference's Quadrilateral (point3d.hpp:116-139).
+
+    Production keeps winners as pair ROWS because the rigid fit reads the
+    endpoint positions straight from ModelPack.pair_ep (2 row gathers per
+    hypothesis); materializing index quads costs 2 more [K]-row gathers
+    per base and is only needed by debug/parity consumers."""
+    return table.pairs[pairs].reshape(pairs.shape[:-1] + (4,))
 
 
 def _unit_cube_params(model_pos):
@@ -223,8 +236,10 @@ def extract_congruent_sets(
             # normalized points, pairCreationFunctor.h:71-75 +
             # stocs.cpp:808-818; equal up to f32 association, i.e. a
             # possible last-ULP cell-edge flip). rows [L, 6] are the
-            # (a, b - a) endpoint rows (ModelPack.pair_ep layout).
-            aw, d = rows[:, 0:3], rows[:, 3:6]
+            # (a, b) endpoint rows (ModelPack.pair_ep layout); d = b - a
+            # here is the same f32 subtraction the old precomputed layout
+            # baked in, so every downstream value is bit-identical.
+            aw, d = rows[:, 0:3], rows[:, 3:6] - rows[:, 0:3]
             e_world = aw + inv * d
             e_unit = (e_world - center) / ratio + 0.5
             dirs = d / jnp.maximum(
@@ -265,7 +280,6 @@ def extract_congruent_sets(
                 # count divides 256 (Pallas tiling + sub stripes).
                 slack = 256 if nb >= 4 else 128
                 ep4 = pair_ep.reshape(-1, 24)
-                lane4 = jnp.arange(4, dtype=jnp.int32)[None, :]
 
                 def side(off, cnt):
                     bsrc, lok, _t = gather_pair_block_srcs(
@@ -273,17 +287,13 @@ def extract_congruent_sets(
                     )
                     lanes = bsrc.shape[0] * 4
                     rows = ep4[bsrc].reshape(lanes, 6)
-                    src = jnp.clip(
-                        (bsrc[:, None] * 4 + lane4).reshape(lanes),
-                        0, npairs - 1,
-                    )
                     # valid lanes are a block-compacted prefix: its length
                     # bounds the Pallas kernel's dynamic grid
                     bcnt = jnp.where(
                         cnt > 0, (off + cnt + 3) // 4 - off // 4, 0
                     )
                     nlanes = jnp.minimum(jnp.sum(bcnt), bsrc.shape[0]) * 4
-                    return rows, lok.reshape(lanes), src, nlanes
+                    return rows, lok.reshape(lanes), nlanes
             else:
                 def side(off, cnt):
                     src, ok, _t = gather_pair_srcs(table, off, cnt, cap)
@@ -291,15 +301,51 @@ def extract_congruent_sets(
                         rows = pair_ep[src]
                     else:
                         pr = table.pairs[src]
-                        aw = model_pos[pr[:, 0]]
                         rows = jnp.concatenate(
-                            [aw, model_pos[pr[:, 1]] - aw], axis=1
+                            [model_pos[pr[:, 0]], model_pos[pr[:, 1]]],
+                            axis=1,
                         )
                     nlanes = jnp.minimum(jnp.sum(cnt), cap)
-                    return rows, ok, src, nlanes
+                    return rows, ok, nlanes
 
-            p_rows, p_ok, p_srcl, p_lanes = side(off1, cnt1)
-            q_rows, q_ok, q_srcl, q_lanes = side(off2, cnt2)
+            def decode(sel, off, cnt):
+                # winner lane -> table.pairs row, closed-form over the
+                # <=128 CSR ranges (one [K, 128] masked sum — zero
+                # gathers; the old path gathered src[sel] then
+                # table.pairs[...], ~800 rows per base across both
+                # sides, the dominant selection-tail cost at 64M rows/s,
+                # scripts/probe_onebase_decomp.py stage E). Lanes outside
+                # every range (invalid winners) decode to `sel` itself,
+                # clipped — masked downstream by quad_valid exactly like
+                # the old clipped gather.
+                if blocked:
+                    bstart = off // 4
+                    bcnt = jnp.where(
+                        cnt > 0, (off + cnt + 3) // 4 - bstart, 0
+                    )
+                    cumb = jnp.cumsum(bcnt) - bcnt
+                    t = sel // 4
+                    m = (
+                        (cumb[None, :] <= t[:, None])
+                        & (t[:, None] < (cumb + bcnt)[None, :])
+                    )
+                    g = t + jnp.sum(
+                        jnp.where(m, (bstart - cumb)[None, :], 0), axis=1
+                    )
+                    src = g * 4 + sel % 4
+                else:
+                    start = jnp.cumsum(cnt) - cnt
+                    m = (
+                        (start[None, :] <= sel[:, None])
+                        & (sel[:, None] < (start + cnt)[None, :])
+                    )
+                    src = sel + jnp.sum(
+                        jnp.where(m, (off - start)[None, :], 0), axis=1
+                    )
+                return jnp.clip(src, 0, npairs - 1)
+
+            p_rows, p_ok, p_lanes = side(off1, cnt1)
+            q_rows, q_ok, q_lanes = side(off2, cnt2)
             pl = p_rows.shape[0]
             ql = q_rows.shape[0]
             chunk = ql // nb
@@ -480,11 +526,10 @@ def extract_congruent_sets(
             quad_valid = top > 0
             pi = slot // sub
             qi = top & ((1 << col_bits) - 1)
-            # pair-index gathers only for the selected winners
-            quads = jnp.concatenate(
-                [table.pairs[p_srcl[pi]], table.pairs[q_srcl[qi]]], axis=-1
+            pairs = jnp.stack(
+                [decode(pi, off1, cnt1), decode(qi, off2, cnt2)], axis=-1
             ).astype(jnp.int32)
-            return quads, quad_valid, total
+            return pairs, quad_valid, total
 
         # tiered dispatch: most bins hold far fewer than p_cap pairs, and a
         # cap-c branch does (p_cap/c)^2 times less matrix work; the top tier
@@ -493,9 +538,9 @@ def extract_congruent_sets(
         # p50=30, p90=535, p99=7887 — the 256 tier carries most bases at
         # ~half the 1024-tier cost (154 vs 323 us/base measured).
         if fixed_tier is not None:
-            quads, quad_valid, total = match_block(*fixed_tier)
+            pairs, quad_valid, total = match_block(*fixed_tier)
         elif not tiers:
-            quads, quad_valid, total = match_block(p_cap, top_qb)
+            pairs, quad_valid, total = match_block(p_cap, top_qb)
         else:
             def dispatch(remaining):
                 if not remaining:
@@ -508,8 +553,8 @@ def extract_congruent_sets(
                     None,
                 )
 
-            quads, quad_valid, total = dispatch(tiers)
-        return quads, quad_valid, total, jnp.stack(
+            pairs, quad_valid, total = dispatch(tiers)
+        return pairs, quad_valid, total, jnp.stack(
             [p_total, q_total]
         ).astype(jnp.int32)
 
@@ -611,12 +656,12 @@ def extract_congruent_sets(
 
         out = jax.lax.map(one_group, (gargs, gmax))
         inv = jnp.argsort(order)
-        quads, quad_valid, totals, pair_counts = jax.tree_util.tree_map(
+        pairs, quad_valid, totals, pair_counts = jax.tree_util.tree_map(
             lambda a: a.reshape((b,) + a.shape[2:])[inv], out
         )
     else:
-        quads, quad_valid, totals, pair_counts = jax.lax.map(
+        pairs, quad_valid, totals, pair_counts = jax.lax.map(
             one_base, args
         )
-    return CongruentSets(quads, quad_valid, totals, pair_counts)
+    return CongruentSets(pairs, quad_valid, totals, pair_counts)
 

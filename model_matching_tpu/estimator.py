@@ -126,11 +126,35 @@ def _run_congruent(key, model, scene, bases, cfg: MatchConfig):
     )
 
 
+def _pair_ep_of(model: ModelPack):
+    """The model's endpoint-row table, building it once when a manually
+    constructed pack omitted it (load_model_pack always bakes one)."""
+    if model.pair_ep is not None:
+        return model.pair_ep
+    from .model import build_pair_ep
+
+    return build_pair_ep(model.pos, model.table.pairs)
+
+
+def _ep_quad(pair_ep, flat_pairs):
+    """[..., 2] winner pair rows -> [..., 4, 3] model quad positions via
+    ONE endpoint-row gather per pair (the rows store the raw (a, b)
+    endpoints, so the positions are exactly model_pos[quads])."""
+    ep = pair_ep[flat_pairs]                 # [..., 2, 6]
+    return ep.reshape(ep.shape[:-2] + (4, 3))
+
+
 @partial(jax.jit, static_argnames=("compact_cap",))
-def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
+def _phase_fit(scene_pos, pair_ep, scene_centroid, model_centroid,
                bases: sampling.SampledBases, sets: congruent.CongruentSets,
                compact_cap: int = 0):
     """Fit rigid transforms for every congruent slot.
+
+    Model points come from the [total_pairs, 6] endpoint-row table
+    (ModelPack.pair_ep): a winner's 4-point model quad is two 24-byte row
+    gathers instead of a [K,4] index gather + 4 position gathers — row
+    gathers price per ROW on TPU (docs/RESULTS.md gather profile), so
+    this is 2 rows/hypothesis instead of ~5.
 
     Returns (poses, n_slot_valid) where n_slot_valid counts the
     congruent-valid slots BEFORE fit validity (what the compact-cap
@@ -152,7 +176,7 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
     ~0.008% of slots on the fixture (RESULTS.md), and the caller's
     overflow warning fires on the same congruent-valid count, so the
     displacement is bounded by that warning's overflow amount."""
-    b, k, _ = sets.quads.shape
+    b, k, _ = sets.pairs.shape
     h = b * k
     slot_valid = (sets.quad_valid & bases.valid[:, None]).reshape(h)
     n_slot_valid = jnp.sum(slot_valid.astype(jnp.int32))
@@ -160,7 +184,7 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
         cap = compact_cap
         sel = scoring._stable_partition_sel(slot_valid, cap)
         bi = sel // k
-        flat_quads = sets.quads.reshape(h, 4)
+        flat_pairs = sets.pairs.reshape(h, 2)
 
         def fit_at(width):
             # bucketed width (same trick as score_hybrid's stage 1): every
@@ -170,7 +194,7 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
             w_sel = sel[:width]
             out = fit_ops.fit_congruent_pairs(
                 scene_pos[bases.indices[bi[:width]]],
-                model_pos[flat_quads[w_sel]],
+                _ep_quad(pair_ep, flat_pairs[w_sel]),
                 scene_centroid, model_centroid,
             )
             pad = cap - width
@@ -194,7 +218,7 @@ def _phase_fit(scene_pos, model_pos, scene_centroid, model_centroid,
         return scoring.run_bucketed(nvc, cap, fit_at), n_slot_valid
     scene_quad = scene_pos[bases.indices]            # [B, 4, 3]
     scene_quad = jnp.broadcast_to(scene_quad[:, None], (b, k, 4, 3))
-    model_quad = model_pos[sets.quads]               # [B, K, 4, 3]
+    model_quad = _ep_quad(pair_ep, sets.pairs)       # [B, K, 4, 3]
     out = fit_ops.fit_congruent_pairs(
         scene_quad, model_quad, scene_centroid, model_centroid
     )
@@ -560,7 +584,7 @@ class StocsEstimator:
         cap = cfg.score_compact_cap
         fit_cap = cap if coarse_to_fine else 0
         poses, n_slot_valid = _phase_fit(
-            self.scene.pos, self.model.pos, self.scene.centroid,
+            self.scene.pos, _pair_ep_of(self.model), self.scene.centroid,
             self.model.centroid, bases, sets, compact_cap=fit_cap,
         )
         poses = jax.block_until_ready(poses)
@@ -849,8 +873,9 @@ class StocsEstimator:
             cap = cfg.score_compact_cap
             slots = chunk * cfg.maximum_congruent_sets
             poses, n_slot_valid = _phase_fit(
-                self.scene.pos, self.model.pos, self.scene.centroid,
-                self.model.centroid, bases, sets, compact_cap=cap,
+                self.scene.pos, _pair_ep_of(self.model),
+                self.scene.centroid, self.model.centroid, bases, sets,
+                compact_cap=cap,
             )
             # device-side (an int() here would sync the host loop): the
             # partition-prefix bound for stage-1 bucketing when fit

@@ -42,11 +42,13 @@ class ModelPack:
     valid: jax.Array     # [M]
     centroid: jax.Array  # [3]
     table: PPFTable
-    # optional [total_pairs, 6] f32 (endpoint-a xyz, (b - a) xyz) in the
+    # optional [total_pairs, 6] f32 (endpoint-a xyz, endpoint-b xyz) in the
     # CENTERED frame, precomputed once per model so the congruent gate's
     # feature stage gathers one 24-byte row per pair instead of the pair
-    # indices plus two position rows (build_pair_ep). None falls back to
-    # the index-gather path.
+    # indices plus two position rows, and the rigid fit reads both model
+    # points of a winner pair from one row (build_pair_ep). None falls
+    # back to the index-gather path in the gate; fit-side callers build
+    # it on the fly (estimator._pair_ep_of).
     pair_ep: jax.Array | None = None
 
     def count(self):
@@ -54,14 +56,18 @@ class ModelPack:
 
 
 def build_pair_ep(centered_pos, pairs) -> jax.Array:
-    """[total_pairs (padded to 4), 6] f32 rows (a.xyz, (b - a).xyz) from
-    centered model positions — the exact expressions the congruent gate's
-    seg_points evaluates, hoisted out of the per-chunk program. Rows are
-    padded to a multiple of 4 so the dense tiers can view the table as
-    [P/4, 24] and gather one row per FOUR pairs (gather_pair_block_srcs)."""
+    """[total_pairs (padded to 4), 6] f32 rows (a.xyz, b.xyz) from centered
+    model positions — the raw pair endpoints. The congruent gate derives
+    its interpolants from these (d = b - a in seg_from_rows, bit-identical
+    to the previously-baked difference), and the rigid fit reads its two
+    model points per pair straight from the row — 2 row gathers per
+    hypothesis instead of a winner-quad decode plus 4 position gathers.
+    Rows are padded to a multiple of 4 so the dense tiers can view the
+    table as [P/4, 24] and gather one row per FOUR pairs
+    (gather_pair_block_srcs)."""
     a = centered_pos[pairs[:, 0]]
     b = centered_pos[pairs[:, 1]]
-    ep = jnp.concatenate([a, b - a], axis=1)
+    ep = jnp.concatenate([a, b], axis=1)
     pad = (-ep.shape[0]) % 4
     if pad:
         ep = jnp.pad(ep, ((0, pad), (0, 0)))

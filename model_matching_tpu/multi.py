@@ -27,7 +27,7 @@ import numpy as np
 
 from . import congruent, sampling, scoring
 from .config import MatchConfig
-from .model import ModelPack
+from .model import ModelPack, build_pair_ep
 from .ops import fit as fit_ops
 from .ppf_table import resize_table
 from .scene import ScenePack
@@ -59,10 +59,15 @@ def align_models(models: Sequence[ModelPack]) -> List[ModelPack]:
             w = np.zeros((mcap - n,) + a.shape[1:], np.asarray(a).dtype)
             return jnp.asarray(np.concatenate([np.asarray(a), w]))
 
+        ppos = pad(m.pos)
         out.append(
             ModelPack(
-                pos=pad(m.pos), normal=pad(m.normal), rgb=pad(m.rgb),
+                pos=ppos, normal=pad(m.normal), rgb=pad(m.rgb),
                 valid=pad(m.valid), centroid=m.centroid, table=t,
+                # endpoint rows from the ALIGNED table so every object's
+                # pair_ep stacks to one [O, pairs, 6] leaf (and the fused
+                # program gets the gate's ep fast path + the 2-row fit)
+                pair_ep=build_pair_ep(ppos, t.pairs),
             )
         )
     # equalize the static probe bounds so the stacked packs share a treedef
@@ -106,12 +111,18 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
         cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
     )
-    b, k, _ = sets.quads.shape
+    b, k, _ = sets.pairs.shape
     scene_quad = jnp.broadcast_to(
         scene.pos[bases.indices][:, None], (b, k, 4, 3)
     )
+    ep = (
+        model.pair_ep if model.pair_ep is not None
+        else build_pair_ep(model.pos, model.table.pairs)
+    )
+    # 2 endpoint-row gathers per hypothesis (estimator._ep_quad rationale)
+    model_quad = ep[sets.pairs].reshape(b, k, 4, 3)
     fits = fit_ops.fit_congruent_pairs(
-        scene_quad, model.pos[sets.quads], scene.centroid, model.centroid
+        scene_quad, model_quad, scene.centroid, model.centroid
     )
     valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
     scores = scoring.score_hybrid(

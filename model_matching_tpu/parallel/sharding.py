@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import congruent, sampling, scoring
 from ..config import MatchConfig
-from ..model import ModelPack
+from ..model import ModelPack, build_pair_ep
 from ..ops import fit as fit_ops
 from ..scene import ScenePack
 
@@ -115,11 +115,16 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
         cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
     )
-    b, k, _ = sets.quads.shape
+    b, k, _ = sets.pairs.shape
     scene_quad = jnp.broadcast_to(
         scene.pos[bases.indices][:, None], (b, k, 4, 3)
     )
-    model_quad = model.pos[sets.quads]
+    ep = (
+        model.pair_ep if model.pair_ep is not None
+        else build_pair_ep(model.pos, model.table.pairs)
+    )
+    # 2 endpoint-row gathers per hypothesis (estimator._ep_quad rationale)
+    model_quad = ep[sets.pairs].reshape(b, k, 4, 3)
     fits = fit_ops.fit_congruent_pairs(
         scene_quad, model_quad, scene.centroid, model.centroid
     )

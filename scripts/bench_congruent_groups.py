@@ -76,13 +76,13 @@ def main():
         c = dataclasses.replace(cfg, congruent_sorted_groups=g)
         t0 = time.perf_counter()
         sets = _run_congruent(kc, model, scene, bases, c)
-        jax.block_until_ready(sets.quads)
+        jax.block_until_ready(sets.pairs)
         cold = time.perf_counter() - t0
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
             sets = _run_congruent(kc, model, scene, bases, c)
-            jax.block_until_ready(sets.quads)
+            jax.block_until_ready(sets.pairs)
             times.append(time.perf_counter() - t0)
         warm = min(times)
         results[g] = (sets, cold, warm)

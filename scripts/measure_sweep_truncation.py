@@ -35,7 +35,7 @@ def main():
 
     from model_matching_tpu.config import get_preset
     from model_matching_tpu.estimator import (
-        StocsEstimator, _phase_fit, _phase_sample, _phase_score,
+        StocsEstimator, _pair_ep_of, _phase_fit, _phase_sample, _phase_score,
         _run_congruent,
     )
     from model_matching_tpu.model import load_model_pack
@@ -68,7 +68,7 @@ def main():
     bases = _phase_sample(ks, model.table, scene.pos, scene.normal,
                           est.class_prob, scene.valid, ccfg, args.chunk, bits)
     sets = _run_congruent(kc, model, scene, bases, ccfg)
-    poses, _nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+    poses, _nsv = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                              model.centroid, bases, sets)
     n_valid = int(jnp.sum(poses.valid.astype(jnp.int32)))
     t0 = time.perf_counter()

@@ -59,7 +59,7 @@ def _fixture():
 def _pipeline_poses(model, scene, cfg):
     import jax
     from model_matching_tpu.estimator import (
-        StocsEstimator, _phase_fit, _phase_sample, _run_congruent,
+        StocsEstimator, _pair_ep_of, _phase_fit, _phase_sample, _run_congruent,
     )
 
     est = StocsEstimator(model, scene, cfg)
@@ -68,7 +68,7 @@ def _pipeline_poses(model, scene, cfg):
                           est.class_prob, scene.valid, cfg, CHUNK,
                           est.exists_bits())
     sets = _run_congruent(kc, model, scene, bases, cfg)
-    poses, _nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+    poses, _nsv = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                              model.centroid, bases, sets)
     jax.block_until_ready(poses.transform)
     return est, bases, sets, poses
@@ -179,12 +179,12 @@ def probe_smalltier():
 
 def probe_fit():
     import jax
-    from model_matching_tpu.estimator import _phase_fit
+    from model_matching_tpu.estimator import _pair_ep_of, _phase_fit
 
     model, scene, cfg = _fixture()
     _est, bases, sets, _poses = _pipeline_poses(model, scene, cfg)
     print("== probe 3: fit phase ==", flush=True)
-    dt = _time(_phase_fit, scene.pos, model.pos, scene.centroid,
+    dt = _time(_phase_fit, scene.pos, _pair_ep_of(model), scene.centroid,
                model.centroid, bases, sets)
     n = CHUNK * cfg.maximum_congruent_sets
     print(f"  fit {n} hypothesis slots: {dt*1e3:8.1f} ms "

@@ -33,12 +33,12 @@ def main():
     for g in [0, 4, 8, 16, 32, 64]:
         c = dataclasses.replace(cfg, congruent_sorted_groups=g)
         jax.block_until_ready(
-            _run_congruent(kc, model, scene, bases, c).quads)
+            _run_congruent(kc, model, scene, bases, c).pairs)
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
             jax.block_until_ready(
-                _run_congruent(kc, model, scene, bases, c).quads)
+                _run_congruent(kc, model, scene, bases, c).pairs)
             best = min(best, time.perf_counter() - t0)
         print(f"G={g:3d}: {best*1e3:7.1f} ms", flush=True)
 

@@ -61,7 +61,7 @@ def main():
     enable_compilation_cache()
     from model_matching_tpu import scoring
     from model_matching_tpu.estimator import (
-        StocsEstimator, _phase_fit, _phase_sample, _run_congruent,
+        StocsEstimator, _pair_ep_of, _phase_fit, _phase_sample, _run_congruent,
     )
 
     model, scene, cfg = _fixture_named(args.fixture)
@@ -102,7 +102,7 @@ def main():
                               est.class_prob, scene.valid, cfg, 2048,
                               est.exists_bits())
         sets = _run_congruent(kc, model, scene, bases, cfg)
-        poses, _ = _phase_fit(scene.pos, model.pos, scene.centroid,
+        poses, _ = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                               model.centroid, bases, sets)
         s1, s2, s3 = stage_scores(poses.transform, poses.valid)
         s1, s2, s3 = map(np.asarray, (s1, s2, s3))

@@ -38,7 +38,7 @@ def main():
 
     from model_matching_tpu.config import get_preset
     from model_matching_tpu.estimator import (
-        StocsEstimator, _phase_fit, _phase_sample, _phase_score,
+        StocsEstimator, _pair_ep_of, _phase_fit, _phase_sample, _phase_score,
         _run_congruent,
     )
     from model_matching_tpu.model import load_model_pack
@@ -85,10 +85,10 @@ def main():
         bases = phase_sample(ks)
         fence(bases.indices, "sample")
         sets = _run_congruent(kc, model, scene, bases, cfg)
-        fence(sets.quads, "congruent")
+        fence(sets.pairs, "congruent")
         cap = cfg.score_compact_cap
         slots = args.chunk * cfg.maximum_congruent_sets
-        poses, nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+        poses, nsv = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                                 model.centroid, bases, sets,
                                 compact_cap=cap)
         fence(poses.transform, "fit")

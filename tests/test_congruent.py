@@ -67,7 +67,7 @@ def test_congruent_sets_come_from_matching_bins(rng):
         jnp.asarray(bases), jnp.asarray(inv1), jnp.asarray(inv2),
         jnp.ones(len(bases), bool), cfg,
     )
-    quads = np.asarray(sets.quads)
+    quads = np.asarray(congruent.quads_of(table, sets.pairs))
     qvalid = np.asarray(sets.quad_valid)
     assert qvalid.any(), "self-match must produce congruent sets"
 
@@ -171,7 +171,7 @@ def test_dense_bin_blocked_tier_decodes_correctly():
         jnp.asarray([i1], np.float32), jnp.asarray([i2], np.float32),
         jnp.ones(1, bool), cfg,
     )
-    quads = np.asarray(sets.quads)[0]
+    quads = np.asarray(congruent.quads_of(table, sets.pairs))[0]
     qvalid = np.asarray(sets.quad_valid)[0]
     assert int(np.asarray(sets.pair_counts).max()) > 8192
     assert qvalid.any(), "dense self-match must produce congruent sets"
@@ -299,7 +299,7 @@ def test_sorted_grouped_matches_ladder(monkeypatch):
         )
         mv = np.asarray(ref.quad_valid) & sel[:, None]
         np.testing.assert_array_equal(
-            np.asarray(grouped.quads)[mv], np.asarray(ref.quads)[mv]
+            np.asarray(grouped.pairs)[mv], np.asarray(ref.pairs)[mv]
         )
 
 
@@ -356,8 +356,8 @@ def test_pair_ep_path_matches_index_gather_path(rng):
         np.asarray(plain.quad_valid), np.asarray(fast.quad_valid)
     )
     np.testing.assert_array_equal(
-        np.asarray(plain.quads)[np.asarray(plain.quad_valid)],
-        np.asarray(fast.quads)[np.asarray(fast.quad_valid)],
+        np.asarray(plain.pairs)[np.asarray(plain.quad_valid)],
+        np.asarray(fast.pairs)[np.asarray(fast.quad_valid)],
     )
     np.testing.assert_array_equal(
         np.asarray(plain.total_found), np.asarray(fast.total_found)

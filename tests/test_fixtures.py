@@ -268,8 +268,8 @@ def test_ycb_bowl_ladder_exact_argmax_identity(bowl_artifacts):
 
     from model_matching_tpu.config import get_preset
     from model_matching_tpu.estimator import (
-        StocsEstimator, _phase_fit, _phase_sample, _phase_score,
-        _run_congruent,
+        StocsEstimator, _pair_ep_of, _phase_fit, _phase_sample,
+        _phase_score, _run_congruent,
     )
     from model_matching_tpu.model import load_model_pack
     from model_matching_tpu.scene import load_scene
@@ -296,7 +296,8 @@ def test_ycb_bowl_ladder_exact_argmax_identity(bowl_artifacts):
     )
     sets = _run_congruent(kc, model, scene, bases, ccfg)
     poses, _nsv = _phase_fit(
-        scene.pos, model.pos, scene.centroid, model.centroid, bases, sets,
+        scene.pos, _pair_ep_of(model), scene.centroid, model.centroid,
+        bases, sets,
     )
     assert int(jnp.sum(poses.valid)) > 2000  # a real hypothesis population
 

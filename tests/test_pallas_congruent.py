@@ -58,7 +58,7 @@ def test_kernel_matches_xla_path(rng, monkeypatch):
         )
         mv = np.asarray(ref.quad_valid)
         np.testing.assert_array_equal(
-            np.asarray(ref.quads)[mv], np.asarray(pal.quads)[mv],
+            np.asarray(ref.pairs)[mv], np.asarray(pal.pairs)[mv],
             err_msg=f"cap={cap}",
         )
         np.testing.assert_array_equal(
@@ -198,7 +198,7 @@ def test_skip_dist_matches_when_implied(rng, monkeypatch):
         )
         mv = np.asarray(keep.quad_valid)
         np.testing.assert_array_equal(
-            np.asarray(skip.quads)[mv], np.asarray(keep.quads)[mv]
+            np.asarray(skip.pairs)[mv], np.asarray(keep.pairs)[mv]
         )
         np.testing.assert_array_equal(
             np.asarray(skip.total_found), np.asarray(keep.total_found)

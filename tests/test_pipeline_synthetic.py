@@ -200,7 +200,8 @@ def test_fit_time_compaction_matches_score_time(setup):
     hypothesis SET — same values for every (base, quad) slot and the same
     best pose — as fitting every slot and letting score_hybrid compact."""
     from model_matching_tpu.estimator import (
-        _phase_fit, _phase_sample, _phase_score, _run_congruent,
+        _pair_ep_of, _phase_fit, _phase_sample, _phase_score,
+        _run_congruent,
     )
 
     model, scene, cfg, gt, _ = setup
@@ -217,13 +218,13 @@ def test_fit_time_compaction_matches_score_time(setup):
                           est.exists_bits())
     sets = _run_congruent(kc, model, scene, bases, ccfg)
 
-    p_all, nsv = _phase_fit(scene.pos, model.pos, scene.centroid,
+    p_all, nsv = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                             model.centroid, bases, sets)
     assert int(nsv) < cap  # no overflow: sets must agree exactly
     s_all, i_all, b_all = _phase_score(
         p_all, model, scene, est.class_prob, ccfg, True)
 
-    p_cmp, nsv2 = _phase_fit(scene.pos, model.pos, scene.centroid,
+    p_cmp, nsv2 = _phase_fit(scene.pos, _pair_ep_of(model), scene.centroid,
                              model.centroid, bases, sets, compact_cap=cap)
     assert int(nsv2) == int(nsv)
     pre = jnp.minimum(nsv2, jnp.int32(cap))

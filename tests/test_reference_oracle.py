@@ -246,7 +246,7 @@ def test_repo_congruent_extraction_subset_of_gate(world, cfg, ref_map,
         jnp.asarray(world["scene_normal"]),
         bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
     )
-    quads = np.asarray(sets.quads)
+    quads = np.asarray(congruent.quads_of(table, sets.pairs))
     qvalid = np.asarray(sets.quad_valid)
     checked = 0
     for b in gates:
@@ -375,11 +375,11 @@ def test_end_to_end_best_pose_parity(world, cfg, ref_map, bases, table):
         jnp.asarray(mp), jnp.asarray(sp), jnp.asarray(world["scene_normal"]),
         bases.indices, bases.invariant1, bases.invariant2, bases.valid, cfg,
     )
-    bsz, k, _ = sets.quads.shape
+    bsz, k, _ = sets.pairs.shape
     scene_quad = jnp.broadcast_to(
         jnp.asarray(sp)[bases.indices][:, None], (bsz, k, 4, 3)
     )
-    model_quad = jnp.asarray(mp)[sets.quads]
+    model_quad = jnp.asarray(mp)[congruent.quads_of(table, sets.pairs)]
     fits = fit_ops.fit_congruent_pairs(
         scene_quad, model_quad,
         jnp.asarray(world["centroid_scene"]),

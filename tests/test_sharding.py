@@ -56,11 +56,11 @@ def _sequential_shard(model, scene, cfg, key, dev, b_local):
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
         cfg,
     )
-    b, k, _ = sets.quads.shape
+    b, k, _ = sets.pairs.shape
     scene_quad = jnp.broadcast_to(
         scene.pos[bases.indices][:, None], (b, k, 4, 3)
     )
-    model_quad = model.pos[sets.quads]
+    model_quad = model.pos[congruent.quads_of(model.table, sets.pairs)]
     fits = fit_ops.fit_congruent_pairs(
         scene_quad, model_quad, scene.centroid, model.centroid
     )
