@@ -613,19 +613,19 @@ def extract_congruent_sets(
         def run_tier(tier, ga):
             cap = tier[0]
             f = lambda a: one_base(a, fixed_tier=tier)
-            # vmap width per tier: sparse tiers batch the whole group
-            # (their [cap, cap] matrices are small), the 4096 tier
-            # batches 4, Pallas-gated dense tiers batch 8 (see dense_w),
-            # non-Pallas dense tiers stay sequential — keeps the widest
-            # XLA transient at ~[16, 1024, 1024] f32
-            if cap <= 1024:
-                w = g
-            elif dense_w > 1 and cap >= _PALLAS_MIN_CAP:
+            # vmap width per tier: Pallas-gated dense tiers batch 8 (see
+            # dense_w; the kernel tiles, so its working set is batch-
+            # invariant), non-Pallas dense tiers stay sequential (they
+            # would materialize [w, pl, chunk] gate matrices), and the
+            # XLA tiers batch as wide as a ~16M-element (64 MB f32) gate
+            # transient allows — so wider sorted groups amortize fixed
+            # per-iteration cost without scaling the transient with G
+            if dense_w > 1 and cap >= _PALLAS_MIN_CAP:
                 w = dense_w
-            elif cap <= 4096:
-                w = min(g, 4)
-            else:
+            elif cap >= _PALLAS_MIN_CAP:
                 w = 1
+            else:
+                w = max(1, min(g, (1 << 24) // (cap * cap)))
             while g % w:
                 w -= 1
             if w <= 1:
