@@ -190,6 +190,22 @@ def test_hybrid_stage1_bucketing_is_bit_identical(rng):
         ))
         np.testing.assert_array_equal(bucketed, full)
 
+    # stage-2 width exceeding the narrowest bucket (h//8 < k_mid): the
+    # stage-1 top_k is folded into the bucket, so bucketing must disable
+    # itself rather than run a top_k wider than its input
+    valid = np.zeros(h, bool)
+    valid[rng.choice(h, 500, replace=False)] = True
+    kw_wide = dict(kw, mid_fraction=0.5)  # k_mid = 4096 > 8192//8
+    bucketed = np.asarray(scoring.score_hybrid(
+        trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps,
+        30.0, **kw_wide
+    ))
+    full = np.asarray(scoring.score_hybrid(
+        trs, jnp.asarray(valid), *margs, field, grid, *sargs, eps,
+        30.0, bucket_stage1=False, **kw_wide
+    ))
+    np.testing.assert_array_equal(bucketed, full)
+
 
 def test_exact_scorer_payload_on_off_equal(rng):
     """score_transforms must return the same scores whether the grid uses
