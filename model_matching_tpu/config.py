@@ -138,6 +138,16 @@ class MatchConfig:
     # >=24x margin while cutting the full-model field gathers ~2.6x at
     # sweep scale. 0 = fraction-only (the pre-round-3 behavior).
     score_mid_cap: int = 4096
+    # Hypothesis chunk for EXACT (no-coarse-to-fine) scoring. The exact
+    # scorer's hot transient is [chunk, M, cell_cap, 8] f32 (payload fast
+    # path; ops/gridhash.py), so an unchunked sweep-scale batch would
+    # materialize ~100 GB and OOM the chip. 0 (default) = derive the
+    # largest chunk whose transient stays under ~1.5 GB from the concrete
+    # model size and grid cell cap (scoring.exact_score_chunk) — on the
+    # YCB fixture (M=480, cell_cap=24) that reproduces the previously
+    # hand-tuned 4096; an unusual model gets a bound fitted to ITS
+    # memory shape instead of a fixture-tuned constant.
+    score_exact_chunk: int = 0
     # Sweep pooling width: run_sweep / run_sweep_sharded keep the top-k
     # scored poses of every chunk and cluster the pooled winners; the
     # reference clusters every scored hypothesis
@@ -224,6 +234,29 @@ class MatchConfig:
     # never a missed pose). <0 disables the gate (pure distance check — a
     # strict superset of the reference's matches).
     congruent_cos_tolerance: float = 0.3
+
+    # EXACT cone semantics (the LITERAL IndexedNormalSet rasterization,
+    # normalset.hpp:166-214, incl. the atan-perimeter and zero-sample
+    # quirks) instead of relying on the |dot-alpha| <= tol approximation
+    # alone. Two mechanisms, picked per dispatch tier:
+    #   * small XLA tiers (cap < 4096): the exact membership test runs
+    #     INSIDE the gate as a [P, W] x [W, Q] one-hot MXU matmul
+    #     (cell(dir_P) in coloredSet(dir_Q, alpha)) — it REPLACES the
+    #     cos-tolerance gate there, so recall and precision are exactly
+    #     the reference's and the selection needs no oversampling;
+    #   * dense Pallas tiers: the kernel keeps the cos-tolerance gate,
+    #     and the selection oversamples congruent_cone_oversample * k
+    #     winners, re-checks each with the literal rasterization, and
+    #     keeps the top k survivors — a uniform random subsample over
+    #     TRUE congruent sets (the reference's contract,
+    #     stocs_match_one_object.cpp:126-143). Without this, saturated
+    #     bases kept ~half false positives (measured precision 0.49).
+    congruent_exact_cone: bool = True
+    # Dense-tier gate winners selected per kept slot before the exact
+    # re-check. At precision ~0.5 an oversample of 3 keeps the
+    # post-check survivor count comfortably above
+    # maximum_congruent_sets in saturated bases.
+    congruent_cone_oversample: int = 3
 
     # ICP refinement (reference library capability, pose_clustering.cpp:123-140:
     # 5 iterations, 0.035 max correspondence distance; its CLI never calls it,

@@ -44,6 +44,144 @@ from .ppf_table import (
 # smallest pair cap routed to the Pallas gate kernel (see match_block)
 _PALLAS_MIN_CAP = 4096
 
+# IndexedNormalSet angular-grid constants (reference: stocs.cpp:794
+# instantiates IndexedNormalSet<Point,3,7,float>; normalset.h:86)
+_NG = 7
+_NEPS = 1.0 / _NG + 0.00001
+# nb_sample's maximum over alpha in [0, pi]:
+# 2 * ceil(2*pi*atan(pi) * 7/2) = 56
+_CONE_MAX_SAMPLES = 56
+
+
+def _normal_cell_id(n):
+    """Angular cell id of a unit direction — IndexedNormalSet's
+    coordinatesNormal map + UnrollIndexLoop linearization
+    (normalset.h:100-104, utils.h:139-148). Components are in [-1, 1] so
+    the C int cast equals floor; out-of-range overshoot is deliberately
+    NOT clipped (a cell id >= 7 along an axis can still match another
+    direction that overshot identically, exactly like the reference's
+    dict keyed on the raw id)."""
+    c = jnp.floor((n / 2.0 + 0.5) / _NEPS).astype(jnp.int32)
+    return c[..., 0] + c[..., 1] * _NG + c[..., 2] * (_NG * _NG)
+
+
+def _rot_from_z_to(n):
+    """Eigen Quaternion::setFromTwoVectors((0,0,1), n) as a rotation
+    matrix (used by the cone query, normalset.hpp:172-186). n: [..., 3]
+    unit directions. The antiparallel case (n ~ -z) is a pi rotation
+    about x: diag(1, -1, -1)."""
+    c = n[..., 2]
+    s = jnp.sqrt(jnp.maximum((1.0 + c) * 2.0, 1e-24))
+    w = s / 2.0
+    # axis = cross(z, n) = (-n_y, n_x, 0); quaternion xyz = axis / s
+    x = -n[..., 1] / s
+    y = n[..., 0] / s
+    one = jnp.ones_like(c)
+    r = jnp.stack([
+        jnp.stack([1 - 2 * y * y, 2 * x * y, 2 * w * y], axis=-1),
+        jnp.stack([2 * x * y, 1 - 2 * x * x, -2 * w * x], axis=-1),
+        jnp.stack([-2 * w * y, 2 * w * x, 1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
+    anti = jnp.stack([
+        jnp.stack([one, 0 * c, 0 * c], axis=-1),
+        jnp.stack([0 * c, -one, 0 * c], axis=-1),
+        jnp.stack([0 * c, 0 * c, -one], axis=-1),
+    ], axis=-2)
+    return jnp.where((c < -1.0 + 1e-12)[..., None, None], anti, r)
+
+
+# one-hot width for the in-gate exact cone test: angular cell ids live in
+# [0, 342]; ids are clipped to [0, 349], dead cone samples park at 350
+_CONE_OH_W = 352
+
+
+def _unit(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
+def _cone_sample_cells(dir_q, cos_alpha):
+    """Angular cells colored by the reference's cone rasterization around
+    each Q direction (normalset.hpp:166-214; quirks as in _cone_accept):
+    [L, S] int cell ids with dead samples parked at the sentinel 350."""
+    dq = _unit(dir_q)
+    ang = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    perimeter = 2.0 * jnp.pi * jnp.arctan(ang)
+    nb = 2.0 * jnp.ceil(perimeter * _NG / 2.0)
+    step = 2.0 * jnp.pi / jnp.maximum(nb, 1.0)
+    a = jnp.arange(_CONE_MAX_SAMPLES, dtype=jnp.float32)
+    theta = a * step
+    sin_a = jnp.sin(ang)
+    local = jnp.stack([
+        sin_a * jnp.cos(theta),
+        sin_a * jnp.sin(theta),
+        jnp.broadcast_to(jnp.asarray(cos_alpha, jnp.float32), theta.shape),
+    ], axis=-1)                                   # [S, 3]
+    d = _unit(jnp.einsum("...ij,sj->...si", _rot_from_z_to(dq), local))
+    cells = _normal_cell_id(d)                    # [L, S]
+    live = (a < nb) & (nb > 0)
+    return jnp.where(live, jnp.clip(cells, 0, 349), 350)
+
+
+def _colored_onehot(dir_q, cos_alpha):
+    """[L, _CONE_OH_W] bf16 indicator of each Q lane's colored cone cells
+    — the Q side of the in-gate exact cone matmul. Built as an
+    iota-compare + any-reduce (a scatter build lowered to a sort chain on
+    TPU and cost more than the whole gate); bf16 holds 0/1 exactly and
+    halves the MXU operand traffic."""
+    cells = _cone_sample_cells(dir_q, cos_alpha)
+    iota = jnp.arange(_CONE_OH_W, dtype=jnp.int32)
+    return jnp.any(
+        cells[:, :, None] == iota[None, None, :], axis=1
+    ).astype(jnp.bfloat16)
+
+
+def _cell_onehot(dir_p):
+    """[L, _CONE_OH_W] bf16 one-hot of each P direction's angular cell —
+    the P side of the in-gate exact cone matmul. Out-of-range ids clip to
+    the boundary on BOTH sides, so identically-overshooting directions
+    still match (like the reference's raw-id dict); distinct overshoots
+    falsely merging at the clip is measure-zero for unit inputs."""
+    c = jnp.clip(_normal_cell_id(_unit(dir_p)), 0, 349)
+    return (
+        c[:, None] == jnp.arange(_CONE_OH_W, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+
+
+def _cone_accept(dir_p, dir_q, cos_alpha):
+    """Literal cone-rasterization membership test of the reference's
+    IndexedNormalSet::getNeighbors (normalset.hpp:166-214): a (P, Q)
+    candidate survives iff the angular cell of the P pair's direction is
+    one of the cells colored by sampling the circle of directions at
+    angle acos(cos_alpha) around the Q pair's direction. Reference
+    quirks kept: the circle perimeter uses atan(angle), not sin
+    (normalset.hpp:179), and alpha == 0 renders zero samples, coloring
+    nothing. dir_p/dir_q: [..., 3] (normalized here); cos_alpha is the
+    raw dot between the two base segments (stocs.cpp:842 passes it
+    straight through)."""
+    def unit(v):
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+
+    cell_p = _normal_cell_id(unit(dir_p))
+    dq = unit(dir_q)
+    ang = jnp.arccos(jnp.clip(cos_alpha, -1.0, 1.0))
+    perimeter = 2.0 * jnp.pi * jnp.arctan(ang)
+    nb = 2.0 * jnp.ceil(perimeter * _NG / 2.0)
+    step = 2.0 * jnp.pi / jnp.maximum(nb, 1.0)
+    a = jnp.arange(_CONE_MAX_SAMPLES, dtype=jnp.float32)
+    theta = a * step
+    sin_a = jnp.sin(ang)
+    local = jnp.stack([
+        sin_a * jnp.cos(theta),
+        sin_a * jnp.sin(theta),
+        jnp.broadcast_to(jnp.asarray(cos_alpha, jnp.float32), theta.shape),
+    ], axis=-1)                                   # [S, 3]
+    d = unit(jnp.einsum("...ij,sj->...si", _rot_from_z_to(dq), local))
+    cell_d = _normal_cell_id(d)                   # [..., S]
+    hit = jnp.any((cell_d == cell_p[..., None]) & (a < nb), axis=-1)
+    return hit & (nb > 0)
+
 
 def tier_plan(p_cap: int):
     """Dispatch tier construction shared by the per-base cond ladder and
@@ -384,13 +522,17 @@ def extract_congruent_sets(
             rand_mask = jnp.uint32(
                 0x7FFFFFFF & ~((1 << (col_bits + 1)) - 1)
             )
-            sub = 16
+            # stripe count: each P row can contribute at most `sub`
+            # selection candidates (one per stripe). Dense tiers keep 16
+            # (the Pallas kernel's fixed stripe layout); the XLA small
+            # tiers use 64 — bases whose matches concentrate on a handful
+            # of P rows (common in sparse bins) starve the kept pool at
+            # 16 stripes (measured: a 92-match base represented only ~19
+            # candidates), and the reference keeps EVERY true set up to
+            # the cap (stocs_match_one_object.cpp:126-143)
+            sub = 16 if cap >= _PALLAS_MIN_CAP else 64
             while chunk % sub:
                 sub //= 2
-
-            e2_unit, e2_world, n2 = seg_from_rows(q_rows, inv2)
-            cell2p = pack(jnp.floor(e2_unit * eg_size).astype(jnp.int32))
-            sq2 = jnp.sum(e2_world * e2_world, axis=-1)
 
             pallas_on = (
                 cfg.congruent_pallas
@@ -410,6 +552,26 @@ def extract_congruent_sets(
                 and pl % 256 == 0
                 and chunk % 256 == 0
             )
+            # small XLA tiers additionally keep the top-2 keys per stripe
+            # (a single-P-row base is otherwise capped at `sub` kept sets)
+            top2 = (not use_pallas) and cap < _PALLAS_MIN_CAP and nb == 1
+            # ... and run the EXACT cone rasterization inside the gate as
+            # a [P, W] x [W, Q] one-hot MXU matmul (cell(dir_P) in
+            # coloredSet(dir_Q, alpha)), replacing the cos-tolerance
+            # approximation AND the post-selection re-check: every gate
+            # match is a true congruent set, recall is exactly the
+            # reference's, and no selection oversampling is needed. The
+            # dense tiers keep the Pallas cos-gate + the oversampled
+            # post-selection re-check (the kernel has no one-hot stage).
+            exact_in_gate = (
+                cfg.congruent_exact_cone and cap < _PALLAS_MIN_CAP
+            )
+
+            e2_unit, e2_world, n2 = seg_from_rows(q_rows, inv2)
+            cell2p = pack(jnp.floor(e2_unit * eg_size).astype(jnp.int32))
+            sq2 = jnp.sum(e2_world * e2_world, axis=-1)
+            p_oh = _cell_onehot(n1) if exact_in_gate else None
+
             if use_pallas:
                 from .ops import pallas_congruent as pc
 
@@ -480,7 +642,15 @@ def extract_congruent_sets(
                         )
                     )
                     match &= d2 <= dist_thresh
-                if cfg.congruent_cos_tolerance >= 0:
+                if exact_in_gate:
+                    # literal cone-rasterization membership as an MXU
+                    # matmul: cell(dir_P) in coloredSet(dir_Q, alpha)
+                    colored = _colored_onehot(n2c, alpha)
+                    match &= jnp.dot(
+                        p_oh, colored.T,
+                        preferred_element_type=jnp.float32,
+                    ) > 0.5
+                elif cfg.congruent_cos_tolerance >= 0:
                     cos = n1 @ n2c.T
                     match &= (
                         jnp.abs(cos - alpha) <= cfg.congruent_cos_tolerance
@@ -494,10 +664,20 @@ def extract_congruent_sets(
                 rq = _mix32_jnp(cols ^ salt ^ jnp.uint32(0x9E3779B9))
                 v = ((rp ^ rq[None, :]) & rand_mask) | marker | cols[None, :]
                 v = jnp.where(match, v, jnp.uint32(0))
-                return (
-                    jnp.max(v.reshape(pl, sub, chunk // sub), axis=2),
-                    jnp.sum(match.astype(jnp.int32)),
-                )
+                vs = v.reshape(pl, sub, chunk // sub)
+                m1 = jnp.max(vs, axis=2)
+                if top2:
+                    # second-per-stripe candidates double the selection
+                    # pool for bases whose matches concentrate on few P
+                    # rows. Keys are unique within a row (the column index
+                    # rides the low bits), so masking the stripe max and
+                    # re-reducing is an exact second maximum.
+                    m2 = jnp.max(
+                        jnp.where(vs == m1[:, :, None], jnp.uint32(0), vs),
+                        axis=2,
+                    )
+                    m1 = jnp.concatenate([m1, m2], axis=1)
+                return m1, jnp.sum(match.astype(jnp.int32))
 
             if use_pallas:
                 pass  # row_best/total computed by the kernel above
@@ -520,12 +700,47 @@ def extract_congruent_sets(
                 row_best = jnp.max(block_best, axis=0)
                 total = jnp.sum(btotals)
 
+            # Selection. With the in-gate exact cone (small tiers) every
+            # match is already a true congruent set — a plain random
+            # top-k suffices. The dense tiers' cos-tolerance gate admits
+            # ~half false positives at the default tolerance
+            # (docs/RESULTS.md oracle table), so there the selection
+            # OVERSAMPLES oversample * k_cap winners, re-checks each with
+            # the literal cone rasterization, and keeps the top k_cap
+            # survivors by the same random keys — the kept set is a
+            # uniform random subsample of TRUE congruent sets, restoring
+            # the reference's subsample-over-true-sets contract
+            # (stocs_match_one_object.cpp:126-143).
+            recheck = cfg.congruent_exact_cone and not exact_in_gate
+            k_sel = k_cap
+            if recheck:
+                k_sel = min(
+                    k_cap * max(1, cfg.congruent_cone_oversample),
+                    row_best.size,
+                )
             top, slot = _topk_segmented(
-                row_best.reshape(-1).astype(jnp.int32), k_cap
+                row_best.reshape(-1).astype(jnp.int32), k_sel
             )
-            quad_valid = top > 0
-            pi = slot // sub
+            gate_ok = top > 0
+            # selection width per P row: `sub` stripes, doubled by the
+            # small-tier top-2 (row_best is [pl, sub] or [pl, 2*sub])
+            pi = slot // row_best.shape[-1]
             qi = top & ((1 << col_bits) - 1)
+            if recheck:
+                # directions from the live gathered endpoint rows (no new
+                # HBM gathers); invalid winners carry garbage rows but are
+                # masked by gate_ok before the keep-selection
+                dp = p_rows[pi, 3:6] - p_rows[pi, 0:3]
+                dq = q_rows[qi, 3:6] - q_rows[qi, 0:3]
+                exact_ok = _cone_accept(dp, dq, alpha)
+                top, pick = jax.lax.top_k(
+                    jnp.where(gate_ok & exact_ok, top, 0), k_cap
+                )
+                pi = pi[pick]
+                qi = qi[pick]
+                quad_valid = top > 0
+            else:
+                quad_valid = gate_ok
             pairs = jnp.stack(
                 [decode(pi, off1, cnt1), decode(qi, off2, cnt2)], axis=-1
             ).astype(jnp.int32)

@@ -233,6 +233,64 @@ def test_congruent_cone_gate_recall(world, cfg, ref_map, bases):
     assert precision >= 0.30, f"cos-gate admits too much: {precision}"
 
 
+def test_exact_cone_recheck_precision(world, cfg, ref_map, bases, table):
+    """With the exact cone re-check (MatchConfig.congruent_exact_cone,
+    default on), the KEPT congruent sets must be true reference congruent
+    sets — precision >= 0.95 (float32 cell-boundary flips only) at
+    unchanged recall vs the gate (VERDICT r3 next-step 5). The no-recheck
+    path keeps the old gate behavior (~0.5 precision in saturated bases),
+    asserted as a contrast so the re-check is demonstrably load-bearing."""
+    oracle = _oracle_sets(world, cfg, ref_map, bases)
+
+    def kept_sets(c):
+        sets = congruent.extract_congruent_sets(
+            jax.random.PRNGKey(9), table,
+            jnp.asarray(world["model_pos"]), jnp.asarray(world["scene_pos"]),
+            jnp.asarray(world["scene_normal"]),
+            bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+            c,
+        )
+        quads = np.asarray(congruent.quads_of(table, sets.pairs))
+        qvalid = np.asarray(sets.quad_valid)
+        return quads, qvalid
+
+    quads, qvalid = kept_sets(cfg)
+    n_kept = n_true = n_true_avail = n_true_kept = 0
+    for b, (oquads, *_rest) in oracle.items():
+        true_set = set(oquads)
+        got = {tuple(q) for q in quads[b][qvalid[b]].tolist()}
+        n_kept += len(got)
+        n_true += len(got & true_set)
+        # recall accounting: how many true sets could the kept pool hold
+        n_true_avail += min(len(true_set), cfg.maximum_congruent_sets)
+        n_true_kept += len(got & true_set)
+    assert n_kept >= 50, f"too few kept sets to measure ({n_kept})"
+    precision = n_true / n_kept
+    recall_vs_cap = n_true_kept / max(1, n_true_avail)
+    print(f"recheck precision={precision:.4f} "
+          f"kept-true/capped-true={recall_vs_cap:.4f} (kept={n_kept})")
+    assert precision >= 0.95, precision
+    # the re-check must not starve the kept pool: nearly every true set
+    # that fits under the cap (gate recall ~0.996) must still be kept
+    assert recall_vs_cap >= 0.90, recall_vs_cap
+
+    # contrast: the raw gate path keeps ~half false positives when bases
+    # saturate; on this fixture most bases are unsaturated, so only
+    # assert the re-check strictly improves precision
+    quads0, qvalid0 = kept_sets(
+        dataclasses.replace(cfg, congruent_exact_cone=False)
+    )
+    n_kept0 = n_true0 = 0
+    for b, (oquads, *_rest) in oracle.items():
+        true_set = set(oquads)
+        got = {tuple(q) for q in quads0[b][qvalid0[b]].tolist()}
+        n_kept0 += len(got)
+        n_true0 += len(got & true_set)
+    precision0 = n_true0 / max(1, n_kept0)
+    print(f"no-recheck precision={precision0:.4f} (kept={n_kept0})")
+    assert precision > precision0
+
+
 def test_repo_congruent_extraction_subset_of_gate(world, cfg, ref_map,
                                                   bases, table):
     """The device extraction returns a keyed random subsample of the gate
