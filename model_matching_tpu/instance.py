@@ -18,6 +18,7 @@ segment, the claim buffer and the mask cache as carry.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -25,6 +26,12 @@ import jax.numpy as jnp
 
 from . import flood, sampling
 from .ppf_table import PPFTable
+
+_STEP_STATICS = (
+    "dispersion", "tr_disc", "rot_disc", "plane_threshold",
+    "min_distance_base", "internal_angle_threshold", "flood_max_iters",
+    "flood_sweeps",
+)
 
 
 class InstanceSamples(NamedTuple):
@@ -134,6 +141,25 @@ def _make_base_step(
     return one_base
 
 
+@partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0,))
+def _scan_block(carry, inp, table, pos, normal, edge_prob, pixel, valid,
+                edge_free, exists_bits, *, dispersion, tr_disc, rot_disc,
+                plane_threshold, min_distance_base,
+                internal_angle_threshold, flood_max_iters, flood_sweeps):
+    """Module-level jitted scan block for the stepwise sampler. The round-3
+    implementation jitted a fresh closure per sample call, so EVERY call —
+    and every sweep chunk — re-traced the whole scan body (measured ~2 s of
+    pure tracing per 2048-base chunk on the packed fixture); a module-level
+    wrapper with explicit arguments caches the trace across calls. The
+    carry is donated so the [B+1, H, W] mask cache updates in place."""
+    step = _make_base_step(
+        table, pos, normal, edge_prob, pixel, valid, edge_free,
+        dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
+        internal_angle_threshold, flood_max_iters, exists_bits, flood_sweeps,
+    )
+    return jax.lax.scan(step, carry, inp)
+
+
 def sample_instance_bases_stepwise(
     key: jax.Array,
     table: PPFTable,
@@ -159,17 +185,17 @@ def sample_instance_bases_stepwise(
     loop pays only B/block dispatches. Semantics identical to
     sample_instance_bases."""
     h, w = edge_free.shape
-    step = _make_base_step(
-        table, pos, normal, edge_prob, pixel, valid, edge_free,
-        dispersion, tr_disc, rot_disc, plane_threshold, min_distance_base,
-        internal_angle_threshold, flood_max_iters, exists_bits, flood_sweeps,
-    )
 
     def run_block(carry, inp):
-        return jax.lax.scan(step, carry, inp)
-
-    # donate the carry so the [B+1, H, W] mask cache updates in place
-    run_block = jax.jit(run_block, donate_argnums=(0,))
+        return _scan_block(
+            carry, inp, table, pos, normal, edge_prob, pixel, valid,
+            edge_free, exists_bits,
+            dispersion=dispersion, tr_disc=tr_disc, rot_disc=rot_disc,
+            plane_threshold=plane_threshold,
+            min_distance_base=min_distance_base,
+            internal_angle_threshold=internal_angle_threshold,
+            flood_max_iters=flood_max_iters, flood_sweeps=flood_sweeps,
+        )
 
     nb = -(-num_bases // block)
     total = nb * block
@@ -219,6 +245,86 @@ def sample_instance_bases_stepwise(
     )
 
 
+@partial(jax.jit, static_argnames=_STEP_STATICS, donate_argnums=(0,))
+def _blocked_block(class_prob, base_keys, active, decay_active,
+                   table, pos, normal, edge_prob, pixel, valid, edge_free,
+                   exists_bits, *, dispersion, tr_disc, rot_disc,
+                   plane_threshold, min_distance_base,
+                   internal_angle_threshold, flood_max_iters, flood_sweeps):
+    """Module-level jitted block for the block-parallel sampler (cached
+    across calls — see _scan_block's rationale). One dispatch samples
+    base_keys.shape[0] bases: parallel round-1 draws, one [K, H, W]
+    flood-fill program, [K, N] masked rounds 2-4, block-boundary decay."""
+    k_block = base_keys.shape[0]
+    n = pos.shape[0]
+    arange_n = jnp.arange(n, dtype=jnp.int32)
+
+    def draw_rows(keys, probs):
+        # per-base keys (identical derivation to the sequential scan) so
+        # block mode is key-compatible with the sequential sampler
+        idx, ok = jax.vmap(
+            lambda k, p: sampling._categorical_rows(k, p[None])
+        )(keys, probs)
+        return idx[:, 0], ok[:, 0]
+
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(base_keys)
+    k1, k2, k3, k4 = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
+
+    probs0 = jnp.where(valid, class_prob, 0.0)
+    probs0 = flood.prune_edge_points(probs0, edge_prob)
+    probs0 = jnp.broadcast_to(probs0, (k_block, n))
+
+    idx1, ok1 = draw_rows(k1, probs0)
+    exists1 = sampling._pairwise_exists(
+        table, pos, normal, idx1, tr_disc, rot_disc, exists_bits
+    )
+    probs = jnp.where(exists1 & (arange_n[None, :] != idx1[:, None]),
+                      probs0, 0.0)
+    seed_rc = pixel[idx1]                              # [K, 2]
+    pix_d = jnp.sqrt(jnp.sum(
+        (pixel[None, :, :] - seed_rc[:, None, :]).astype(jnp.float32)
+        ** 2, axis=-1,
+    ))
+    max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0), axis=1)
+
+    masks, fill_ok = jax.vmap(
+        lambda rc, d: flood.flood_fill(
+            rc, edge_free, d, max_iters=flood_max_iters,
+            fixed_sweeps=flood_sweeps, return_converged=True,
+        )
+    )(seed_rc, max_pix_dist)                           # [K, H, W]
+
+    in_seg = masks[:, pixel[:, 0], pixel[:, 1]]        # [K, N]
+    probs = jnp.where(in_seg, probs, 0.0)
+
+    idx2, ok2 = draw_rows(k2, probs)
+    probs = jnp.where(sampling.round2_keep_mask(
+        table, pos, normal, idx1, idx2, tr_disc, rot_disc,
+        internal_angle_threshold, exists_bits,
+    ), probs, 0.0)
+    idx3, ok3 = draw_rows(k3, probs)
+    probs = jnp.where(sampling.round3_keep_mask(
+        table, pos, normal, idx1, idx2, idx3, tr_disc, rot_disc,
+        plane_threshold, min_distance_base, exists_bits,
+    ), probs, 0.0)
+    idx4, ok4 = draw_rows(k4, probs)
+
+    # block-boundary decay: a base's segment decays the prior once,
+    # exactly when the sequential chain would — at the start of the
+    # FOLLOWING base (stocs.cpp:571-580). The final base of the run
+    # has no follower, so its segment never decays (decay_active);
+    # padding steps are inert (active)
+    counts = jnp.sum(
+        (in_seg & (active & decay_active)[:, None]).astype(jnp.float32),
+        axis=0,
+    )
+    class_prob = jnp.where(
+        valid, class_prob * dispersion ** counts, class_prob
+    )
+    raw = jnp.stack([idx1, idx2, idx3, idx4], axis=1)  # [K, 4]
+    return class_prob, raw, ok1 & ok2 & ok3 & ok4, masks, fill_ok
+
+
 def sample_instance_bases_blocked(
     key: jax.Array,
     table: PPFTable,
@@ -264,77 +370,19 @@ def sample_instance_bases_blocked(
     Keep the sequential sampler as the default.
     """
     h, w = edge_free.shape
-    n = pos.shape[0]
-    arange_n = jnp.arange(n, dtype=jnp.int32)
     k_block = block_size
 
-    def draw_rows(keys, probs):
-        # per-base keys (identical derivation to the sequential scan) so
-        # block mode is key-compatible with the sequential sampler
-        idx, ok = jax.vmap(
-            lambda k, p: sampling._categorical_rows(k, p[None])
-        )(keys, probs)
-        return idx[:, 0], ok[:, 0]
-
-    def run_block(class_prob, base_keys, active, decay_active):
-        ks = jax.vmap(lambda k: jax.random.split(k, 4))(base_keys)
-        k1, k2, k3, k4 = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
-
-        probs0 = jnp.where(valid, class_prob, 0.0)
-        probs0 = flood.prune_edge_points(probs0, edge_prob)
-        probs0 = jnp.broadcast_to(probs0, (k_block, n))
-
-        idx1, ok1 = draw_rows(k1, probs0)
-        exists1 = sampling._pairwise_exists(
-            table, pos, normal, idx1, tr_disc, rot_disc, exists_bits
+    def run_block_j(class_prob, base_keys, active, decay_active):
+        return _blocked_block(
+            class_prob, base_keys, active, decay_active,
+            table, pos, normal, edge_prob, pixel, valid, edge_free,
+            exists_bits,
+            dispersion=dispersion, tr_disc=tr_disc, rot_disc=rot_disc,
+            plane_threshold=plane_threshold,
+            min_distance_base=min_distance_base,
+            internal_angle_threshold=internal_angle_threshold,
+            flood_max_iters=flood_max_iters, flood_sweeps=flood_sweeps,
         )
-        probs = jnp.where(exists1 & (arange_n[None, :] != idx1[:, None]),
-                          probs0, 0.0)
-        seed_rc = pixel[idx1]                              # [K, 2]
-        pix_d = jnp.sqrt(jnp.sum(
-            (pixel[None, :, :] - seed_rc[:, None, :]).astype(jnp.float32)
-            ** 2, axis=-1,
-        ))
-        max_pix_dist = jnp.max(jnp.where(probs > 0, pix_d, 0.0), axis=1)
-
-        masks, fill_ok = jax.vmap(
-            lambda rc, d: flood.flood_fill(
-                rc, edge_free, d, max_iters=flood_max_iters,
-                fixed_sweeps=flood_sweeps, return_converged=True,
-            )
-        )(seed_rc, max_pix_dist)                           # [K, H, W]
-
-        in_seg = masks[:, pixel[:, 0], pixel[:, 1]]        # [K, N]
-        probs = jnp.where(in_seg, probs, 0.0)
-
-        idx2, ok2 = draw_rows(k2, probs)
-        probs = jnp.where(sampling.round2_keep_mask(
-            table, pos, normal, idx1, idx2, tr_disc, rot_disc,
-            internal_angle_threshold, exists_bits,
-        ), probs, 0.0)
-        idx3, ok3 = draw_rows(k3, probs)
-        probs = jnp.where(sampling.round3_keep_mask(
-            table, pos, normal, idx1, idx2, idx3, tr_disc, rot_disc,
-            plane_threshold, min_distance_base, exists_bits,
-        ), probs, 0.0)
-        idx4, ok4 = draw_rows(k4, probs)
-
-        # block-boundary decay: a base's segment decays the prior once,
-        # exactly when the sequential chain would — at the start of the
-        # FOLLOWING base (stocs.cpp:571-580). The final base of the run
-        # has no follower, so its segment never decays (decay_active);
-        # padding steps are inert (active)
-        counts = jnp.sum(
-            (in_seg & (active & decay_active)[:, None]).astype(jnp.float32),
-            axis=0,
-        )
-        class_prob = jnp.where(
-            valid, class_prob * dispersion ** counts, class_prob
-        )
-        raw = jnp.stack([idx1, idx2, idx3, idx4], axis=1)  # [K, 4]
-        return class_prob, raw, ok1 & ok2 & ok3 & ok4, masks, fill_ok
-
-    run_block_j = jax.jit(run_block, donate_argnums=(0,))
 
     nb = -(-num_bases // k_block)
     total = nb * k_block
