@@ -81,7 +81,9 @@ def main():
             cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
             model_count=mc,
             # bound the payload-gather transient [chunk, M, cell_cap, 8]
-            chunk=4096,
+            chunk=scoring.exact_score_chunk(
+                cfg.score_exact_chunk, model.pos.shape[0], scene.grid.cell_cap
+            ),
         )
 
     def timed(fn, arg, n_items, iters):

@@ -268,10 +268,12 @@ def _phase_score(poses: PoseCandidates, model: ModelPack, scene: ScenePack,
             model_count=mc,
             # bound the per-chunk intermediates: at sweep scale (e.g. 2048
             # bases x 200 sets = 409600 slots) the unchunked program would
-            # materialize ~100 GB and OOM the chip; with the payload fast
-            # path the hot transient is [chunk, M, cell_cap, 8] f32
-            # (~1.5 GB at 4096 on the YCB fixture, cell_cap 24)
-            chunk=4096,
+            # materialize ~100 GB and OOM the chip; the chunk is derived
+            # from the concrete model size / grid cell cap (or set
+            # explicitly via cfg.score_exact_chunk)
+            chunk=scoring.exact_score_chunk(
+                cfg.score_exact_chunk, model.pos.shape[0], scene.grid.cell_cap
+            ),
         )
     idx, best = scoring.best_pose(scores)
     return scores, idx, best
@@ -311,7 +313,9 @@ def _phase_refine(best_t, model: ModelPack, scene: ScenePack, class_prob,
     return refined, new_lcp
 
 
-_SWEEP_CKPT_VERSION = 2  # v2: + chunk_slot_valid (fit-time compaction)
+_SWEEP_CKPT_VERSION = 3  # v2: + chunk_slot_valid (fit-time compaction)
+#                          v3: + devices (sharded sweeps checkpoint too;
+#                              0 = single-chip layout)
 
 
 def _sweep_cfg_fingerprint(cfg: MatchConfig) -> str:
@@ -327,7 +331,7 @@ def _sweep_cfg_fingerprint(cfg: MatchConfig) -> str:
 def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
                            use_instance, pool_s, pool_t, pool_w,
                            chunk_valid, chunk_slot_valid, unconverged,
-                           elapsed, prob_decayed, class_prob):
+                           elapsed, prob_decayed, class_prob, devices=0):
     """Atomic npz checkpoint of a sweep in progress. Chunk PRNG keys are
     fold_in(key0, ci) — stateless in the loop — so the only cross-chunk
     state is the pooled winners and (instance mode) the decayed prior;
@@ -357,6 +361,7 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
         unconverged=np.int64(unconverged),
         elapsed=np.float64(elapsed),
         prob_decayed=np.bool_(prob_decayed),
+        devices=np.int64(devices),
     )
     if prob_decayed:
         arrays["class_prob"] = dev["class_prob"]
@@ -366,13 +371,16 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
     os.replace(tmp, path)
 
 
-def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance):
+def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance,
+                           devices=0):
     """Load + validate a sweep checkpoint against this call's parameters.
     Raises ValueError on any mismatch — a checkpoint must never silently
-    resume under different semantics."""
+    resume under different semantics. `devices`: expected mesh size for
+    sharded sweeps (0 = single-chip) — resuming a sweep on a different
+    device layout would change the per-device RNG streams."""
     with np.load(path) as z:
         ver = int(z["version"])
-        if ver not in (1, _SWEEP_CKPT_VERSION):
+        if ver not in (1, 2, _SWEEP_CKPT_VERSION):
             raise ValueError(
                 f"sweep checkpoint {path}: unsupported version {ver}"
             )
@@ -388,6 +396,12 @@ def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance):
             mism.append("config fingerprint differs")
         if bool(z["use_instance"]) != use_instance:
             mism.append("sampling path (instance/class) differs")
+        saved_dev = int(z["devices"]) if ver >= 3 else 0
+        if saved_dev != devices:
+            mism.append(
+                f"device layout {saved_dev or 'single-chip'} != "
+                f"{devices or 'single-chip'}"
+            )
         if mism:
             raise ValueError(
                 f"sweep checkpoint {path} does not match this sweep: "
@@ -723,6 +737,10 @@ class StocsEstimator:
                 "hypotheses_per_sec": hyps_per_sec,
                 "congruent_total": int(host["total_sets"]),
                 "pair_count_max": pair_max,
+                # static marker for cluster_poses: only the coarse-to-fine
+                # ladder leaves -1 (unscored) entries that need a
+                # field-score backfill before clustering
+                "coarse_to_fine": coarse_to_fine,
             },
         )
 
@@ -977,7 +995,12 @@ class StocsEstimator:
         cfg = self.cfg
         poses = result.poses
         lcp = poses.lcp
-        needs_fill = bool(jnp.any(poses.valid & (lcp < 0)))
+        # static decision — a device-side jnp.any() here would be a serial
+        # ~25 ms blocking host fetch on the tunnel (utils/host.py). Only the
+        # coarse-to-fine ladder leaves -1 entries; exact runs never do. For
+        # results lacking the marker, backfilling is safe either way (the
+        # where() below keeps every already-exact score).
+        needs_fill = result.stats.get("coarse_to_fine", True)
         if needs_fill:
             field_scores = _phase_field_scores(
                 poses, self.model, self.scene, self._score_prob(), cfg

@@ -144,6 +144,18 @@ def score_transforms(
     return jnp.where(valid, scores, -1.0)
 
 
+def exact_score_chunk(configured: int, model_points: int,
+                      cell_cap: int) -> int:
+    """Hypothesis chunk for exact scoring: the configured value, or the
+    largest multiple of 256 whose [chunk, M, cell_cap, 8] f32 payload
+    transient stays under ~1.5 GB (MatchConfig.score_exact_chunk)."""
+    if configured:
+        return configured
+    budget_elems = 384 * 1024 * 1024  # f32 elements ~ 1.5 GB
+    c = budget_elems // max(1, model_points * cell_cap * 8)
+    return int(max(256, min(8192, (c // 256) * 256)))
+
+
 def best_pose(scores: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Argmax with the reference's strict-greater scan semantics
     (stocs.cpp:990-998: index stays -1 unless some score > 0)."""
