@@ -227,28 +227,28 @@ def cmd_stocs_single(argv):
         import jax as _jax
 
         n_dev = _jax.device_count()
-        if scene.has_edge and n_dev > 1:
-            # the instance path's sequential dispersion decay cannot be
-            # sharded; keep the reference semantics on one chip rather than
-            # silently switching to class sampling (stocs.cpp:559-751)
-            print(f"note: edge-mapped scene — instance-mode sweep runs "
-                  f"single-chip (the dispersion decay is sequential); "
-                  f"{n_dev}-device sharding applies to class-path scenes")
+        if scene.has_edge and _jax.process_count() > 1:
+            # the instance path's sequential sampler runs outside the mesh
+            # and does not replicate across DCN hosts; keep the reference
+            # semantics on one process rather than silently switching to
+            # class sampling (stocs.cpp:559-751)
+            print("note: edge-mapped scene — instance-mode sweeps shard "
+                  "over ICI only (single process); multi-host sharding "
+                  "applies to class-path scenes")
             n_dev = 1
         if n_dev > 1:
-            if args.sweep_checkpoint:
-                # the sharded pools live per shard; refuse loudly rather
-                # than silently checkpointing a different sweep
-                print("error: --sweep-checkpoint supports the single-chip "
-                      "sweep only (run with one device, or drop the flag)")
-                return 1
-            # shard the hypothesis axis over the mesh; chunk divisibility is
-            # guaranteed by rounding up to the device count
+            # shard the hypothesis axis over the mesh (instance-mode
+            # scenes sample sequentially outside the mesh and shard
+            # phases 2-4); chunk divisibility is guaranteed by rounding
+            # up to the device count
             from .parallel.sharding import make_mesh, run_sweep_sharded
 
             chunk = -(-args.sweep_chunk // n_dev) * n_dev
             best_lcp, best_w, cl_t, cl_s, stats = run_sweep_sharded(
                 make_mesh(), model, scene, cfg, args.sweep, chunk=chunk,
+                checkpoint_path=args.sweep_checkpoint,
+                checkpoint_every=args.sweep_checkpoint_every,
+                stop_after_chunks=args.sweep_stop_after,
             )
         else:
             best_lcp, best_w, cl_t, cl_s, stats = est.run_sweep(

@@ -152,15 +152,71 @@ def _match_all(stacked: ModelPack, scene: ScenePack, probs: jax.Array,
     )
 
 
+def _match_all_sharded(mesh, stacked: ModelPack, scene: ScenePack,
+                       probs: jax.Array, keys: jax.Array, cfg: MatchConfig,
+                       d2_implied: bool, n_obj: int):
+    """The multi-object program sharded over the mesh's object axis: each
+    device lax.maps the same fused per-object program over its slice of
+    the stacked packs; the scene (shared union geometry) is replicated.
+    No communication at all — objects are independent; jit gathers the
+    per-object outputs. Bit-identical to _match_all on the same inputs
+    (the per-object computation does not depend on batch composition)."""
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.sharding import _globalize
+
+    n_dev = mesh.devices.size
+    pad = (-n_obj) % n_dev
+    if pad:
+        stacked = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]
+            ),
+            stacked,
+        )
+        probs = jnp.concatenate(
+            [probs, jnp.zeros((pad, probs.shape[1]), probs.dtype)]
+        )
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[-1:], (pad,) + keys.shape[1:])]
+        )
+    ax = mesh.axis_names[0]
+    op = P(ax)
+    fn = jax.jit(jax.shard_map(
+        lambda st, sc, pr, ks: _match_all(
+            st, sc, pr, ks, cfg, d2_implied=d2_implied
+        ),
+        mesh=mesh,
+        in_specs=(op, P(), op, op),
+        out_specs=(op, op, op),
+        check_vma=False,
+    ))
+    st, sc, pr, ks = _globalize((stacked, scene, probs, keys), mesh)
+    best, poses, nhyp = fn(st, sc, pr, ks)
+    return best[:n_obj], poses[:n_obj], nhyp[:n_obj]
+
+
 def match_all_objects(
     models: Sequence[ModelPack],
     scene: ScenePack,
     probs,            # [O, P]
     cfg: MatchConfig,
     seed: int = 0,
+    mesh=None,
 ):
     """Returns (best_lcp [O], best_world_transform [O, 4, 4],
     hypotheses [O]).
+
+    `mesh`: an optional 1-D jax.sharding.Mesh — the object axis is the
+    natural mesh axis (objects are independent; the reference runs one
+    object per PROCESS, stocs_match_one_object.cpp:188-214, so a D-device
+    mesh beats its ceiling D-fold). Each device runs the same fused
+    per-object program over its O/D objects; per-object keys are derived
+    globally (fold_in(key, o)), so the sharded results are bit-identical
+    to the single-device program. An object count not divisible by the
+    mesh size is padded with zero-probability replicas whose bases all
+    fail (zero mass -> invalid base, the reference's FAILED-SAMPLING
+    path) and whose results are dropped.
 
     Class sampling only: an edge-mapped scene draws a WARNING because the
     reference would run the instance path there (flood-fill segments +
@@ -182,10 +238,17 @@ def match_all_objects(
     keys = jnp.stack(
         [jax.random.fold_in(key, o) for o in range(len(models))]
     )
-    best, poses, nhyp = _match_all(
-        stacked, scene, jnp.asarray(probs), keys, cfg,
-        d2_implied=congruent.d2_test_implied(stacked.pos, cfg),
-    )
+    probs = jnp.asarray(probs)
+    d2 = congruent.d2_test_implied(stacked.pos, cfg)
+    n_obj = len(models)
+    if mesh is not None and mesh.devices.size > 1:
+        best, poses, nhyp = _match_all_sharded(
+            mesh, stacked, scene, probs, keys, cfg, d2, n_obj
+        )
+    else:
+        best, poses, nhyp = _match_all(
+            stacked, scene, probs, keys, cfg, d2_implied=d2,
+        )
     # same silent-truncation guard as StocsEstimator.run / run_sweep:
     # score_hybrid compacts valid hypotheses to the front and drops
     # overflow beyond score_compact_cap without scoring it

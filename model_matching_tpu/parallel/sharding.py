@@ -90,12 +90,82 @@ def _globalize(tree, mesh: Mesh):
     return jax.tree.map(leaf, tree)
 
 
+def _phases_234(k_cong, model, scene, class_prob, bases,
+                cfg: MatchConfig, coarse_to_fine: bool,
+                d2_implied: bool, use_baked: bool):
+    """Congruent -> fit -> score for one device's (pre-sampled) bases —
+    the shard body shared by the class-path step (which samples locally)
+    and the instance-path sweep (whose sequential sampler runs outside the
+    mesh, reference semantics stocs.cpp:559-751). Fit-time compaction and
+    the congruent-valid/pair-cap counters mirror the single-chip phases
+    (estimator._phase_fit/_phase_score).
+
+    Returns (scores [H], transforms [H,4,4], world_transforms [H,4,4],
+    valid [H], n_slot_valid, pair_max) for this device's shard."""
+    from ..estimator import _phase_fit
+
+    sets = congruent.extract_congruent_sets(
+        k_cong, model.table, model.pos, scene.pos, scene.normal,
+        bases.indices, bases.invariant1, bases.invariant2, bases.valid,
+        cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
+    )
+    ep = (
+        model.pair_ep if model.pair_ep is not None
+        else build_pair_ep(model.pos, model.table.pairs)
+    )
+    cap = cfg.score_compact_cap if coarse_to_fine else 0
+    poses, n_slot_valid = _phase_fit(
+        scene.pos, ep, scene.centroid, model.centroid, bases, sets,
+        compact_cap=cap,
+    )
+    slots = bases.valid.shape[0] * cfg.maximum_congruent_sets
+    pre_n = (
+        jnp.minimum(n_slot_valid, jnp.int32(cap))
+        if (cap and slots > cap) else None
+    )
+    pair_max = jnp.max(sets.pair_counts)
+
+    mc = jnp.sum(model.valid.astype(jnp.float32))
+    # baked-prob fast path only when scoring under the pristine prior the
+    # scene structures were built with (class path); the instance path
+    # scores with the DECAYED prior, which must be gathered explicitly
+    sp = (
+        None
+        if use_baked and scene.field.has_probs and scene.grid.has_probs
+        else class_prob
+    )
+    if coarse_to_fine:
+        scores = scoring.score_hybrid(
+            poses.transform, poses.valid, model.pos, model.normal,
+            model.valid,
+            scene.field, scene.grid, scene.pos, scene.normal, sp,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+            compact_cap=cfg.score_compact_cap,
+            mid_cap=cfg.score_mid_cap,
+            precompacted_count=pre_n,
+        )
+    else:
+        scores = scoring.score_transforms(
+            poses.transform, poses.valid, model.pos, model.normal,
+            model.valid,
+            scene.grid, scene.pos, scene.normal, sp,
+            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
+            model_count=mc,
+            chunk=scoring.exact_score_chunk(
+                cfg.score_exact_chunk, model.pos.shape[0],
+                scene.grid.cell_cap,
+            ),
+        )
+    return (scores, poses.transform, poses.world_transform, poses.valid,
+            n_slot_valid, pair_max)
+
+
 def _local_hypotheses(key_local, model, scene, class_prob, bits,
                       cfg: MatchConfig, b_local: int, coarse_to_fine: bool,
                       d2_implied: bool = False):
-    """One device's share of a matching step: sample b_local bases ->
-    congruent sets -> fits -> scores. Returns (scores [H], transforms
-    [H,4,4], world_transforms [H,4,4], valid [H]). `bits` is the optional
+    """One device's share of a class-path matching step: sample b_local
+    bases -> congruent sets -> fits -> scores. `bits` is the optional
     precomputed pair-existence matrix (sampling.build_exists_bits)."""
     k_sample, k_cong = jax.random.split(key_local)
 
@@ -110,54 +180,10 @@ def _local_hypotheses(key_local, model, scene, class_prob, bits,
         internal_angle_threshold=cfg.internal_angle_threshold,
         exists_bits=bits,
     )
-    sets = congruent.extract_congruent_sets(
-        k_cong, model.table, model.pos, scene.pos, scene.normal,
-        bases.indices, bases.invariant1, bases.invariant2, bases.valid,
-        cfg, pair_ep=model.pair_ep, d2_implied=d2_implied,
+    return _phases_234(
+        k_cong, model, scene, class_prob, bases, cfg, coarse_to_fine,
+        d2_implied, use_baked=True,
     )
-    b, k, _ = sets.pairs.shape
-    scene_quad = jnp.broadcast_to(
-        scene.pos[bases.indices][:, None], (b, k, 4, 3)
-    )
-    ep = (
-        model.pair_ep if model.pair_ep is not None
-        else build_pair_ep(model.pos, model.table.pairs)
-    )
-    # 2 endpoint-row gathers per hypothesis (estimator._ep_quad rationale)
-    model_quad = ep[sets.pairs].reshape(b, k, 4, 3)
-    fits = fit_ops.fit_congruent_pairs(
-        scene_quad, model_quad, scene.centroid, model.centroid
-    )
-    valid = (fits["valid"] & sets.quad_valid & bases.valid[:, None]).reshape(-1)
-    transforms = fits["transform"].reshape(-1, 4, 4)
-    world = fits["world_transform"].reshape(-1, 4, 4)
-
-    mc = jnp.sum(model.valid.astype(jnp.float32))
-    # the sharded programs always score with the pristine scene.class_prob
-    # (edge-mapped scenes are refused upstream), so when the structures
-    # carry baked probs the scorers skip the prob gathers — same values
-    sp = (
-        None
-        if scene.field.has_probs and scene.grid.has_probs
-        else class_prob
-    )
-    if coarse_to_fine:
-        scores = scoring.score_hybrid(
-            transforms, valid, model.pos, model.normal, model.valid,
-            scene.field, scene.grid, scene.pos, scene.normal, sp,
-            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-            model_count=mc,
-            compact_cap=cfg.score_compact_cap,
-            mid_cap=cfg.score_mid_cap,
-        )
-    else:
-        scores = scoring.score_transforms(
-            transforms, valid, model.pos, model.normal, model.valid,
-            scene.grid, scene.pos, scene.normal, sp,
-            cfg.distance_threshold, cfg.lcp_normal_angle_threshold,
-            model_count=mc,
-        )
-    return scores, transforms, world, valid
 
 
 def matching_step_sharded(
@@ -183,7 +209,7 @@ def matching_step_sharded(
         # decorrelate the per-device RNG streams
         dev = jax.lax.axis_index(HYP_AXIS)
         key_local = jax.random.fold_in(key, dev)
-        scores, transforms, world, valid = _local_hypotheses(
+        scores, transforms, world, valid, _nsv, _pm = _local_hypotheses(
             key_local, model, scene, class_prob, None, cfg, b_local,
             coarse_to_fine, d2_implied=d2,
         )
@@ -216,35 +242,79 @@ def _exists_bits(table, pos, normal, tr, rot):
     return sampling.build_exists_bits(table, pos, normal, tr, rot)
 
 
+def _pool_and_reduce(scores, transforms, world, valid, n_slot_valid,
+                     pair_max, keep_local):
+    """Shared collective tail of the sweep-chunk programs: local top-k ->
+    all_gathered pools + psum'd valid count + pmax'd per-device counters.
+    The only collectives are the small pool all_gathers and the scalar
+    reductions — they ride ICI; the hypothesis work never crosses
+    devices."""
+    top, idx = jax.lax.top_k(scores, min(keep_local, scores.shape[0]))
+    pool_s = jax.lax.all_gather(top, HYP_AXIS).reshape(-1)
+    pool_t = jax.lax.all_gather(transforms[idx], HYP_AXIS).reshape(-1, 4, 4)
+    pool_w = jax.lax.all_gather(world[idx], HYP_AXIS).reshape(-1, 4, 4)
+    n_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), HYP_AXIS)
+    # per-DEVICE maxima: compaction caps apply per shard, so the overflow
+    # warning compares a device's congruent-valid count against the cap
+    slot_max = jax.lax.pmax(n_slot_valid, HYP_AXIS)
+    pair_mx = jax.lax.pmax(pair_max, HYP_AXIS)
+    return pool_s, pool_t, pool_w, n_valid, slot_max, pair_mx
+
+
 def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
                          keep_local: int, coarse_to_fine: bool,
                          d2_implied: bool = False):
-    """Jitted one-chunk sweep program over the mesh: every device runs
-    b_local bases end to end, keeps its local top-k scored poses, and the
-    pools are all_gathered so every device (and the host) sees the full
-    [n_dev * keep_local] chunk pool. The only collectives are the two
-    all_gathers of the small top-k pools plus a psum of the valid count —
-    they ride ICI; the hypothesis work never crosses devices."""
+    """Jitted one-chunk class-path sweep program over the mesh: every
+    device samples + runs b_local bases end to end, keeps its local top-k
+    scored poses, and the pools are all_gathered so every device (and the
+    host) sees the full [n_dev * keep_local] chunk pool."""
 
     def body(model, scene, class_prob, bits, key):
         dev = jax.lax.axis_index(HYP_AXIS)
         key_local = jax.random.fold_in(key, dev)
-        scores, transforms, world, valid = _local_hypotheses(
+        out = _local_hypotheses(
             key_local, model, scene, class_prob, bits, cfg, b_local,
             coarse_to_fine, d2_implied=d2_implied,
         )
-        top, idx = jax.lax.top_k(scores, min(keep_local, scores.shape[0]))
-        pool_s = jax.lax.all_gather(top, HYP_AXIS).reshape(-1)
-        pool_t = jax.lax.all_gather(transforms[idx], HYP_AXIS).reshape(-1, 4, 4)
-        pool_w = jax.lax.all_gather(world[idx], HYP_AXIS).reshape(-1, 4, 4)
-        n_valid = jax.lax.psum(jnp.sum(valid.astype(jnp.int32)), HYP_AXIS)
-        return pool_s, pool_t, pool_w, n_valid
+        return _pool_and_reduce(*out, keep_local)
 
     return jax.jit(jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
+        check_vma=False,
+    ))
+
+
+def _sweep_chunk_program_presampled(mesh: Mesh, cfg: MatchConfig,
+                                    keep_local: int, coarse_to_fine: bool,
+                                    d2_implied: bool = False):
+    """Jitted one-chunk sweep program for PRE-SAMPLED bases: the instance
+    path's sequential sampler (flood-fill segments + per-base dispersion
+    decay, reference stocs.cpp:559-751) runs outside the mesh — its
+    cross-base prior dependency cannot shard — but phases 2-4 (>95% of
+    per-chunk cost on the class path) are embarrassingly parallel in the
+    bases, so the sampled chunk is split over the hypothesis axis here.
+    `class_prob` is the chunk's sampling-time decayed prior (scored
+    explicitly, not via the baked rows)."""
+
+    def body(model, scene, class_prob, key, indices, inv1, inv2, bvalid):
+        dev = jax.lax.axis_index(HYP_AXIS)
+        k_cong = jax.random.fold_in(key, dev)
+        bases = sampling.SampledBases(indices, inv1, inv2, bvalid)
+        out = _phases_234(
+            k_cong, model, scene, class_prob, bases, cfg, coarse_to_fine,
+            d2_implied, use_baked=False,
+        )
+        return _pool_and_reduce(*out, keep_local)
+
+    hp = P(HYP_AXIS)
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), hp, hp, hp, hp),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     ))
 
@@ -260,27 +330,57 @@ def run_sweep_sharded(
     seed: int | None = None,
     coarse_to_fine: bool = True,
     verbose: bool = True,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 8,
+    stop_after_chunks: int | None = None,
 ):
     """Large hypothesis sweep over the mesh (the H-axis scale-out of
-    SURVEY.md section 5): `total_bases` class-path bases are processed in
-    chunks of `chunk`, each chunk split evenly across devices; per-chunk
-    top-k pools are gathered, and the pooled winners are ICP-polished and
-    greedily clustered on the host. Multi-chip counterpart of
+    SURVEY.md section 5): `total_bases` bases are processed in chunks of
+    `chunk`, each chunk split evenly across devices; per-chunk top-k pools
+    are gathered, and the pooled winners are ICP-polished and greedily
+    clustered on the host. Multi-chip counterpart of
     StocsEstimator.run_sweep with identical return shape:
     (best_lcp, best_world_transform, clustered_transforms, clustered_lcp,
     stats). A `total_bases` that is not a multiple of `chunk` is rounded
-    up; stats report the bases actually processed."""
-    if scene.has_edge:
-        raise ValueError(
-            "run_sweep_sharded samples class-path bases only; this scene "
-            "carries an edge map, so the reference semantics are the "
-            "instance path (flood-fill segments + sequential dispersion "
-            "decay, stocs.cpp:559-751), whose per-base prior dependency "
-            "cannot be sharded over the hypothesis axis. Use "
-            "StocsEstimator.run_sweep (single-chip instance-mode sweep), "
-            "or drop the edge map to accept class sampling."
-        )
+    up; stats report the bases actually processed.
+
+    Edge-mapped scenes run the REAL instance path: the sequential sampler
+    (flood-fill segments + cross-chunk dispersion decay, reference
+    stocs.cpp:559-751) produces each chunk's bases on the host program —
+    its per-base prior dependency cannot shard — and phases 2-4 of the
+    sampled chunk run under shard_map over the hypothesis axis, scored
+    with the chunk's sampling-time decayed prior. Single-process meshes
+    only (the sampler would have to replicate deterministically across
+    DCN hosts; refused rather than silently diverging).
+
+    `checkpoint_path` / `checkpoint_every` / `stop_after_chunks` mirror
+    StocsEstimator.run_sweep: the sweep state (pooled winners, chunk
+    cursor, decayed prior, per-chunk counters) persists every
+    `checkpoint_every` chunks, a later identical call resumes bit-for-bit
+    (chunk keys are fold_in(key0, ci), per-device keys fold_in(·, dev)),
+    and the checkpoint additionally pins the mesh size — resuming on a
+    different device count would change the per-device RNG streams and is
+    refused."""
+    import dataclasses
+    import os
+
+    from ..estimator import (
+        _load_sweep_checkpoint,
+        _phase_sample_instance,
+        _save_sweep_checkpoint,
+        _sweep_cfg_fingerprint,
+        finish_sweep_pool,
+    )
+    from ..utils.host import fetch
+
+    use_instance = scene.has_edge
     n_dev = mesh.devices.size
+    if use_instance and jax.process_count() > 1:
+        raise ValueError(
+            "instance-mode sharded sweeps are single-process (ICI) only: "
+            "the sequential flood-fill sampler runs outside the mesh and "
+            "its state does not replicate across DCN hosts"
+        )
     if chunk % n_dev:
         raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
     b_local = chunk // n_dev
@@ -291,38 +391,182 @@ def run_sweep_sharded(
         keep_per_chunk = b_local * cfg.maximum_congruent_sets * n_dev
     keep_local = max(1, keep_per_chunk // n_dev)
     n_chunks = -(-total_bases // chunk)
-    actual_bases = n_chunks * chunk
+    cfg_chunk = dataclasses.replace(cfg, number_of_bases=chunk)
+    seed_used = cfg.seed if seed is None else seed
 
-    key0 = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    key0 = jax.random.PRNGKey(seed_used)
     t_start = time.perf_counter()
+    t_prev = 0.0
     model, scene = _globalize((model, scene), mesh)
-    bits = _exists_bits(
+    class_prob = scene.class_prob
+    bits = None if use_instance else _exists_bits(
         model.table, scene.pos, scene.normal,
         cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
     )
-    step = _sweep_chunk_program(
-        mesh, cfg, b_local, keep_local, coarse_to_fine,
-        d2_implied=congruent.d2_test_implied(model.pos, cfg),
-    )
+    d2 = congruent.d2_test_implied(model.pos, cfg)
+    if use_instance:
+        step = _sweep_chunk_program_presampled(
+            mesh, cfg_chunk, keep_local, coarse_to_fine, d2_implied=d2,
+        )
+    else:
+        step = _sweep_chunk_program(
+            mesh, cfg_chunk, b_local, keep_local, coarse_to_fine,
+            d2_implied=d2,
+        )
 
     pool_s, pool_t, pool_w = [], [], []
-    n_hyp_total = 0
-    for ci in range(n_chunks):
-        key = _globalize(jax.random.fold_in(key0, ci), mesh)
-        s, t, w, n_valid = step(model, scene, scene.class_prob, bits, key)
+    chunk_valid, chunk_slot_valid, pair_maxes = [], [], []
+    unconverged = []
+    start_chunk = 0
+    resumed_unconverged = 0
+    cfg_fp = _sweep_cfg_fingerprint(cfg_chunk) if checkpoint_path else ""
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state = _load_sweep_checkpoint(
+            checkpoint_path, chunk=chunk, seed=seed_used,
+            kp=keep_per_chunk, cfg_fp=cfg_fp, use_instance=use_instance,
+            devices=n_dev,
+        )
+        start_chunk = state["next_chunk"]
+        if start_chunk > n_chunks:
+            raise ValueError(
+                f"sweep checkpoint {checkpoint_path} has already processed "
+                f"{start_chunk} chunks; this call asks for only {n_chunks}"
+            )
+        if start_chunk:
+            pool_s.append(state["pool_s"].reshape(-1))
+            pool_t.append(state["pool_t"].reshape(-1, 4, 4))
+            pool_w.append(state["pool_w"].reshape(-1, 4, 4))
+            chunk_valid.extend(state["chunk_valid"])
+            chunk_slot_valid.extend(state["chunk_slot_valid"])
+        resumed_unconverged = state["unconverged"]
+        t_prev = state["elapsed"]
+        if state["prob_decayed"]:
+            class_prob = state["class_prob"]
+        from ..utils.log import log_event
+
+        log_event(
+            "stocs_sweep_sharded_resume", path=checkpoint_path,
+            next_chunk=start_chunk, n_chunks=n_chunks, devices=n_dev,
+        )
+        if verbose:
+            print(f"sharded sweep: resumed from {checkpoint_path} at chunk "
+                  f"{start_chunk}/{n_chunks}")
+
+    def save_ckpt(next_chunk):
+        _save_sweep_checkpoint(
+            checkpoint_path, next_chunk=next_chunk, chunk=chunk,
+            seed=seed_used, kp=keep_per_chunk, cfg_fp=cfg_fp,
+            use_instance=use_instance, devices=n_dev,
+            pool_s=jnp.concatenate(pool_s).reshape(next_chunk, -1),
+            pool_t=jnp.concatenate(pool_t).reshape(next_chunk, -1, 4, 4),
+            pool_w=jnp.concatenate(pool_w).reshape(next_chunk, -1, 4, 4),
+            chunk_valid=jnp.stack(
+                [jnp.asarray(v, jnp.int32) for v in chunk_valid]
+            ),
+            chunk_slot_valid=jnp.stack(
+                [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
+            ),
+            unconverged=resumed_unconverged + (
+                int(jnp.stack(unconverged).sum()) if unconverged else 0
+            ),
+            elapsed=t_prev + (time.perf_counter() - t_start),
+            prob_decayed=class_prob is not scene.class_prob,
+            class_prob=class_prob,
+        )
+
+    stopped_at = None
+    for ci in range(start_chunk, n_chunks):
+        key = jax.random.fold_in(key0, ci)
+        k_sample, k_cong = jax.random.split(key)
+        if use_instance:
+            # sequential sampler outside the mesh: SAME key derivation as
+            # the single-chip sweep, so the sampled bases (and the decayed
+            # prior) are identical to StocsEstimator.run_sweep's
+            inst = _phase_sample_instance(
+                k_sample, model.table, scene, class_prob, cfg_chunk, chunk,
+            )
+            class_prob = inst.class_prob
+            unconverged.append(jnp.sum(~inst.fill_converged))
+            s, t, w, nv, slot_max, pair_mx = step(
+                model, scene, class_prob, k_cong,
+                inst.indices, inst.invariant1, inst.invariant2, inst.valid,
+            )
+        else:
+            gkey = _globalize(key, mesh)
+            s, t, w, nv, slot_max, pair_mx = step(
+                model, scene, scene.class_prob, bits, gkey
+            )
         pool_s.append(s)
         pool_t.append(t)
         pool_w.append(w)
-        n_hyp_total += int(n_valid)
-    pool_s = jnp.concatenate(pool_s)
-    pool_t = jnp.concatenate(pool_t)
-    pool_w = jnp.concatenate(pool_w)
+        # device-side counters (a per-chunk int() would sync the host loop)
+        chunk_valid.append(nv)
+        chunk_slot_valid.append(slot_max)
+        pair_maxes.append(pair_mx)
+        done_this_call = ci + 1 - start_chunk
+        if (stop_after_chunks is not None
+                and done_this_call >= stop_after_chunks
+                and ci + 1 < n_chunks):
+            stopped_at = ci + 1
+            if checkpoint_path:
+                save_ckpt(ci + 1)
+            break
+        if (checkpoint_path and ci + 1 < n_chunks
+                and done_this_call % max(1, checkpoint_every) == 0):
+            save_ckpt(ci + 1)
 
-    from ..estimator import finish_sweep_pool
+    completed = stopped_at is None
+    th = fetch(dict(
+        unconv=(jnp.stack(unconverged).sum() if unconverged else None),
+        nvs=jnp.stack([jnp.asarray(v, jnp.int32) for v in chunk_valid]),
+        slvs=jnp.stack(
+            [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
+        ),
+        pmx=(jnp.stack(pair_maxes).max() if pair_maxes else None),
+    ))
+    n_unconverged = resumed_unconverged + (
+        int(th["unconv"]) if th["unconv"] is not None else 0
+    )
+    from ..utils.log import warn
+
+    if n_unconverged:
+        warn(
+            f"{n_unconverged} flood fills across the sharded sweep did not "
+            f"reach their BFS fixpoint in flood_fill_sweeps="
+            f"{cfg.flood_fill_sweeps} sweeps — segments under-fill",
+            n_unconverged=n_unconverged, sweeps=cfg.flood_fill_sweeps,
+        )
+    n_hyp_total = int(th["nvs"].sum())
+    cap = cfg.score_compact_cap
+    slots_local = b_local * cfg.maximum_congruent_sets
+    if (coarse_to_fine and cap and slots_local > cap
+            and int(th["slvs"].max()) > cap):
+        warn(
+            f"a device's chunk shard produced {int(th['slvs'].max())} "
+            f"congruent-valid hypothesis slots, over "
+            f"score_compact_cap={cap}; overflow was not fitted or scored "
+            f"— raise the cap for full recall",
+            n_valid=int(th["slvs"].max()), cap=cap,
+        )
+    if th["pmx"] is not None and int(th["pmx"]) > cfg.max_pairs_per_bin:
+        warn(
+            f"a PPF bin held {int(th['pmx'])} pairs; only "
+            f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
+            f"raise the cap for full recall",
+            pair_max=int(th["pmx"]), cap=cfg.max_pairs_per_bin,
+        )
+    if completed and checkpoint_path and os.path.exists(checkpoint_path):
+        os.remove(checkpoint_path)
+    processed = (stopped_at if stopped_at is not None else n_chunks) * chunk
+    extra = {"devices": n_dev, "completed": completed}
+    if not completed:
+        extra["next_chunk"] = stopped_at
 
     return finish_sweep_pool(
-        pool_s, pool_t, pool_w, model, scene, scene.class_prob, cfg,
-        total_bases=actual_bases, n_hyp_total=n_hyp_total,
-        t_start=t_start, verbose=verbose, event="stocs_sweep_sharded",
-        extra_stats={"devices": n_dev},
+        jnp.concatenate(pool_s), jnp.concatenate(pool_t),
+        jnp.concatenate(pool_w), model, scene, class_prob, cfg,
+        total_bases=processed, n_hyp_total=n_hyp_total,
+        t_start=t_start - t_prev, verbose=verbose,
+        event="stocs_sweep_sharded",
+        extra_stats=extra,
     )

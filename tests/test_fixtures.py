@@ -365,17 +365,27 @@ def test_packed_dove_instance_sweep(dove_artifacts):
         f"sweep pose off the dove boxes (overlap {on_support:.2f})"
     )
 
-    # the sharded sweep refuses edge-mapped scenes instead of silently
-    # changing sampling semantics
+    # the sharded sweep runs the REAL instance path on edge-mapped scenes
+    # (sequential sampler outside the mesh, phases 2-4 under shard_map —
+    # round-4; the round-3 code refused these scenes outright) and must
+    # localize the dove like the single-chip sweep
     from model_matching_tpu.parallel.sharding import (
         make_mesh, run_sweep_sharded,
     )
 
-    with pytest.raises(ValueError, match="instance path"):
-        run_sweep_sharded(
-            make_mesh(jax.devices()), model, scene, cfg, total_bases=16,
-            chunk=8, verbose=False,
-        )
+    sh_lcp, sh_w, _ct, _cs, sh_stats = run_sweep_sharded(
+        make_mesh(jax.devices()), model, scene, cfg, total_bases=16,
+        chunk=16, verbose=False,
+    )
+    assert sh_stats["devices"] == jax.device_count()
+    assert sh_lcp > 0.02
+    in_frame, on_support = projected_support_overlap(
+        sh_w, model, prob_path, cfg
+    )
+    assert in_frame > 0.9 and on_support > 0.6, (
+        f"sharded instance sweep pose off the dove boxes "
+        f"(overlap {on_support:.2f})"
+    )
 
 
 # ---------------------------------------------------------------------------

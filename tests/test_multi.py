@@ -45,7 +45,11 @@ def _pack_model(pos, nrm, cfg):
     )
 
 
-def test_two_objects_one_program(rng):
+import pytest
+
+
+def build_two_object_world():
+    rng = np.random.default_rng(42)
     cfg = MatchConfig(
         number_of_bases=48, max_scene_points=2048,
         max_pairs_per_bin=2048, maximum_congruent_sets=64,
@@ -106,9 +110,21 @@ def test_two_objects_one_program(rng):
     )
     probs_pad = np.zeros((2, cap), np.float32)
     probs_pad[:, :ns] = probs
+    return dict(
+        packs=packs, scene=scene, probs=probs_pad, cfg=cfg,
+        models=(m1, m2), gts=gts,
+    )
 
+
+@pytest.fixture(scope="module")
+def two_object_world():
+    return build_two_object_world()
+
+
+def test_two_objects_one_program(two_object_world):
+    w = two_object_world
     best, poses, nhyp = multi.match_all_objects(
-        packs, scene, probs_pad, cfg, seed=0
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0
     )
     best = np.asarray(best)
     poses = np.asarray(poses)
@@ -117,8 +133,41 @@ def test_two_objects_one_program(rng):
 
     from scipy.spatial import cKDTree
 
-    for o, (m, g) in enumerate(((m1, gts[0]), (m2, gts[1]))):
+    m1, m2 = w["models"]
+    cfg = w["cfg"]
+    for o, (m, g) in enumerate(((m1, w["gts"][0]), (m2, w["gts"][1]))):
         moved = m @ poses[o, :3, :3].T + poses[o, :3, 3]
         gt_pts = m @ g[:3, :3].T + g[:3, 3]
         d, _ = cKDTree(gt_pts).query(moved)
         assert np.median(d) < 1.5 * cfg.distance_threshold, (o, np.median(d))
+
+
+def test_multi_object_sharded_matches_single_device(two_object_world):
+    """The object axis sharded over the conftest 8-device CPU mesh
+    (VERDICT r3 next-step 3): per-object keys are global, objects are
+    independent, so the mesh results must be BIT-identical to the fused
+    single-device program — including the padding path (2 objects over 8
+    devices pads 6 zero-probability replicas, all dropped)."""
+    import jax
+
+    from model_matching_tpu.parallel.sharding import make_mesh
+
+    w = two_object_world
+    assert jax.device_count() == 8
+    single = multi.match_all_objects(
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0
+    )
+    sharded = multi.match_all_objects(
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0,
+        mesh=make_mesh(),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single[0]), np.asarray(sharded[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single[1]), np.asarray(sharded[1])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(single[2]), np.asarray(sharded[2])
+    )
+    assert np.asarray(sharded[0]).shape == (2,)
