@@ -39,66 +39,86 @@ def _box_filter(img, k: int):
     return along(along(img, 0), 1)
 
 
-def depth_normals(depth, fx, cx, fy, cy, window: int = 5):
-    """Normals [H, W, 3] + validity [H, W] from a metric depth image.
+def depth_normals(depth, fx, cx, fy, cy, window: int = 5,
+                  diff_threshold: float = 50.0):
+    """Normals [H, W, 3] + validity [H, W] from a depth image — an exact
+    transcription of cv::rgbd::RgbdNormals' LINEMOD method (the estimator
+    the reference constructs at src/rgbd.cpp:202-206), whose semantics
+    were pinned empirically against the real OpenCV 4.6 library
+    (tests/ref_rgbd_normals.cpp + tests/test_scene_oracle.py):
 
-    Method: least-squares plane fit of depth over a `window` x `window`
-    neighborhood gives gradients (dz/du, dz/dv); the surface tangents of the
-    back-projection P(u,v) = z * K^-1 (u,v,1) are
-
-        dP/du = ((z + (u-cx) z_u)/fx, (v-cy) z_u / fy, z_u)
-        dP/dv = ((u-cx) z_v / fx, (z + (v-cy) z_v)/fy, z_v)
-
-    and n = normalize(dPdu x dPdv), oriented toward the camera. A pixel is
-    invalid when any depth sample in its window is missing (<= 0) — matching
-    the reference's NaN/zero-normal rejection downstream
-    (src/rgbd.cpp:264-267).
+      * samples a fixed 3x3 grid at +-5 pixel spacing around each pixel
+        (OpenCV hardcodes r = 5 and IGNORES the window_size argument —
+        the `window` parameter here is kept for signature compatibility
+        and ignored the same way);
+      * per sample: delta = depth(sample) - depth(center); samples with
+        |delta| > diff_threshold are discarded (edge-aware gating; the
+        threshold is 50 in the units of `depth` — OpenCV compares raw
+        u16 values, so pass raw-unit depth for exact parity; normal
+        DIRECTIONS are invariant to uniform depth scaling);
+      * depth gradient = the no-intercept least-squares fit over the
+        accepted offsets (the full coupled 2x2 solve — verified against
+        the real library on asymmetric acceptance patterns);
+      * normal = normalize(dP/du x dP/dv) of the perspective
+        back-projection P(u,v) = z K^-1 (u,v,1):
+          dP/du = ((z + (u-cx) g_u)/fx, (v-cy) g_u / fy, g_u)
+          dP/dv = ((u-cx) g_v / fx, (z + (v-cy) g_v)/fy, g_v)
+        flipped camera-facing on the z component (signNormal: c > 0);
+      * pixels within 5 of the left/top border or 6 of the right/bottom
+        border are invalid (OpenCV's asymmetric loop bound, measured:
+        valid rows/cols are [5, H-7] on the real library), as are pixels
+        whose accepted-sample pattern is rank-deficient (OpenCV emits
+        NaN there; the loader rejects both, src/rgbd.cpp:264-267).
     """
     h, w = depth.shape
     z = depth.astype(jnp.float32)
-    valid = z > 0
+    r = 5  # OpenCV's hardcoded LINEMOD radius ("used to be 7")
+    zpad = jnp.pad(z, r)
 
-    # windowed least-squares gradient: slope_u = sum(du * z) / sum(du^2)
-    # computed with box sums so the window is separable.
-    rows = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-    cols = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    sxx = jnp.zeros((h, w), jnp.float32)
+    syy = jnp.zeros((h, w), jnp.float32)
+    sxy = jnp.zeros((h, w), jnp.float32)
+    bx = jnp.zeros((h, w), jnp.float32)
+    by = jnp.zeros((h, w), jnp.float32)
+    for oy in (-r, 0, r):
+        for ox in (-r, 0, r):
+            sample = jax.lax.dynamic_slice(zpad, (oy + r, ox + r), (h, w))
+            delta = sample - z
+            acc = jnp.abs(delta) <= diff_threshold
+            af = acc.astype(jnp.float32)
+            sxx += af * float(ox * ox)
+            syy += af * float(oy * oy)
+            sxy += af * float(ox * oy)
+            bx += jnp.where(acc, float(ox) * delta, 0.0)
+            by += jnp.where(acc, float(oy) * delta, 0.0)
 
-    vf = valid.astype(jnp.float32)
-    s1 = _box_filter(vf, window)
-    su = _box_filter(cols * vf, window)
-    sv = _box_filter(rows * vf, window)
-    sz = _box_filter(z * vf, window)
-    suu = _box_filter(cols * cols * vf, window)
-    svv = _box_filter(rows * rows * vf, window)
-    suz = _box_filter(cols * z * vf, window)
-    svz = _box_filter(rows * z * vf, window)
+    det = sxx * syy - sxy * sxy
+    ok_det = det > 0.5  # det is a multiple of r^4; any nonzero det >= 625
+    safe_det = jnp.where(ok_det, det, 1.0)
+    zu = (syy * bx - sxy * by) / safe_det
+    zv = (sxx * by - sxy * bx) / safe_det
 
-    # centered least squares per axis (u and v are independent over a
-    # rectangular window with full validity; with partial validity this is a
-    # diagonal approximation, and those pixels are marked invalid anyway)
-    du_var = suu * s1 - su * su
-    dv_var = svv * s1 - sv * sv
-    zu = jnp.where(du_var > 1e-6, (suz * s1 - su * sz) / jnp.maximum(du_var, 1e-6), 0.0)
-    zv = jnp.where(dv_var > 1e-6, (svz * s1 - sv * sz) / jnp.maximum(dv_var, 1e-6), 0.0)
-
-    full_window = s1 >= float(window * window) - 0.5
-
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones(
+        (1, w), jnp.float32
+    )
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones(
+        (h, 1), jnp.float32
+    )
     ucx = cols - cx
     vcy = rows - cy
-    tu = jnp.stack(
-        [(z + ucx * zu) / fx, vcy * zu / fy, zu], axis=-1
-    )
-    tv = jnp.stack(
-        [ucx * zv / fx, (z + vcy * zv) / fy, zv], axis=-1
-    )
+    tu = jnp.stack([(z + ucx * zu) / fx, vcy * zu / fy, zu], axis=-1)
+    tv = jnp.stack([ucx * zv / fx, (z + vcy * zv) / fy, zv], axis=-1)
     n = jnp.cross(tu, tv)
     norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    ok = full_window & valid & (norm[..., 0] > 1e-12)
-    n = jnp.where(ok[..., None], n / jnp.maximum(norm, 1e-12), 0.0)
 
-    # orient toward the camera (viewpoint at origin): n . p < 0
-    p = jnp.stack([ucx * z / fx, vcy * z / fy, z], axis=-1)
-    flip = jnp.sum(n * p, axis=-1) > 0
+    border = (
+        (rows >= r) & (rows <= h - r - 2) & (cols >= r) & (cols <= w - r - 2)
+    )
+    ok = border & (z > 0) & ok_det & (norm[..., 0] > 1e-12)
+    n = jnp.where(ok[..., None], n / jnp.maximum(norm, 1e-12), 0.0)
+    # camera-facing: negate when the z component is positive (OpenCV
+    # signNormal's c > 0 test — NOT an n.p test)
+    flip = n[..., 2] > 0
     n = jnp.where(flip[..., None], -n, n)
     return n, ok
 

@@ -24,8 +24,20 @@ _GRID_AXIS = 1024
 
 
 def _voxel_ijk(pos, origin, leaf):
-    ijk = jnp.floor((pos - origin) / leaf).astype(jnp.int32)
-    return jnp.clip(ijk, 0, _GRID_AXIS - 1)
+    # pcl::VoxelGrid binning, bit-for-bit: floor(p * (1/leaf)) with the
+    # reciprocal rounded to float32 first (PCL stores inverse_leaf_size_
+    # as Array4f), absolute — not anchored at the cloud minimum. This
+    # matters beyond pedantry: u16 depth values are exact multiples of
+    # the leaf on the bundled fixtures (leaf 5 mm = 50 raw units), so
+    # thousands of points sit exactly ON a z boundary and any other f32
+    # evaluation order flips ~2% of them, shifting ~12% of the output
+    # centroids (tests/test_scene_oracle.py pins the partition). The
+    # origin shift happens in INTEGER space (zero rounding) and only
+    # keeps indices non-negative for the linear key.
+    inv = jnp.float32(1.0) / jnp.float32(leaf)
+    k = jnp.floor(pos * inv).astype(jnp.int32)
+    k0 = jnp.floor(origin * inv).astype(jnp.int32)
+    return jnp.clip(k - k0, 0, _GRID_AXIS - 1)
 
 
 def _linear_key(ijk):

@@ -68,7 +68,13 @@ def _scene_pipeline(rgb, depth_u16, probs_u16, edge_u8, cfg: MatchConfig):
     fx, cx, fy, cy = cfg.camera.as_tuple()
     depth = depth_u16.astype(jnp.float32) * cfg.depth_scale
     pts_img = geometry.backproject_depth(depth, fx, cx, fy, cy)
-    nrm_img, nrm_ok = normals_ops.depth_normals(depth, fx, cx, fy, cy, window=5)
+    # normals on the RAW u16 values, exactly like the reference feeding
+    # the unscaled depth image to RgbdNormals (rgbd.cpp:205-206): the
+    # LINEMOD difference threshold is 50 RAW units, and directions are
+    # invariant to the uniform depth_scale
+    nrm_img, nrm_ok = normals_ops.depth_normals(
+        depth_u16.astype(jnp.float32), fx, cx, fy, cy, window=5
+    )
 
     h, w = depth.shape
     pos = pts_img.reshape(-1, 3)

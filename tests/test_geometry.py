@@ -24,7 +24,10 @@ def test_backproject_project_roundtrip(rng):
 
 
 def test_depth_normals_on_plane():
-    # synthetic tilted plane z = 1 + 0.2x + 0.1y in camera coords
+    # synthetic tilted plane z = 1 + 0.2x + 0.1y in camera coords,
+    # expressed in raw-ish units (x10000 like a u16 depth at the YCB
+    # depth_scale) so the LINEMOD |delta| <= 50 gate is exercised in its
+    # native units; directions are scale-invariant
     h, w = 60, 80
     rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
                          np.arange(w, dtype=np.float64), indexing="ij")
@@ -32,29 +35,41 @@ def test_depth_normals_on_plane():
     # x=(c-cx)z/fx, y=(r-cy)z/fy  =>  z (1 - a(c-cx)/fx - b(r-cy)/fy) = 1
     a, b = 0.2, 0.1
     denom = 1 - a * (cc - CX) / FX - b * (rr - CY) / FY
-    depth = (1.0 / denom).astype(np.float32)
+    depth = (10000.0 / denom).astype(np.float32)
 
     n, ok = normals.depth_normals(jnp.asarray(depth), FX, CX, FY, CY)
     n = np.asarray(n)
     ok = np.asarray(ok)
-    assert ok[5:-5, 5:-5].all()
+    # OpenCV's asymmetric border (measured on the real library,
+    # ops/normals.py docstring): valid rows/cols are [5, size-7]
+    assert ok[5:h - 6, 5:w - 6].all()
+    assert not ok[:5].any() and not ok[h - 6:].any()
+    assert not ok[:, :5].any() and not ok[:, w - 6:].any()
     # plane z - a x - b y = 1 -> normal prop to (-a, -b, 1); camera-facing flips
     expect = np.array([-a, -b, 1.0])
     expect /= np.linalg.norm(expect)
     if np.dot(expect, [0, 0, 1]) > 0:
-        expect = -expect  # camera-facing: n . p < 0 with p approx +z
-    inner = ok[5:-5, 5:-5]
-    dots = (n[5:-5, 5:-5] * expect).sum(-1)[inner]
+        expect = -expect  # camera-facing: n_z <= 0
+    inner = ok[5:h - 6, 5:w - 6]
+    dots = (n[5:h - 6, 5:w - 6] * expect).sum(-1)[inner]
     assert np.abs(dots).min() > 0.995  # < 6 deg worst case (30 deg gates downstream)
 
 
 def test_depth_normals_invalid_near_holes():
-    depth = np.full((40, 40), 1.0, np.float32)
+    # raw-unit depth: a zero-depth hole produces |delta| = 10000 > 50 at
+    # its neighbors, so the hole SAMPLE is discarded (OpenCV's edge-aware
+    # gate) while the neighbors stay valid with clean plane normals —
+    # unlike the pre-transcription estimator, which invalidated the whole
+    # window around a hole
+    depth = np.full((40, 40), 10000.0, np.float32)
     depth[20, 20] = 0.0
-    _, ok = normals.depth_normals(jnp.asarray(depth), FX, CX, FY, CY)
+    n, ok = normals.depth_normals(jnp.asarray(depth), FX, CX, FY, CY)
     ok = np.asarray(ok)
-    assert not ok[20, 20]
-    assert not ok[18:23, 18:23].all()  # window-5 spill
+    n = np.asarray(n)
+    assert not ok[20, 20]  # the hole itself (z <= 0)
+    assert ok[15, 20] and ok[25, 25]
+    # neighbors reject the hole sample: their normals stay the flat plane's
+    assert abs(n[15, 20] @ np.array([0.0, 0.0, -1.0])) > 0.999
     assert ok[10, 10]
 
 
