@@ -151,7 +151,11 @@ def exact_score_chunk(configured: int, model_points: int,
     transient stays under ~1.5 GB (MatchConfig.score_exact_chunk)."""
     if configured:
         return configured
-    budget_elems = 384 * 1024 * 1024  # f32 elements ~ 1.5 GB
+    # ~2.5 GB of f32: the previously hand-tuned chunk=4096 ran a 2.5 GB
+    # transient on the bench scene (cell_cap 40) without pressure on the
+    # 16 GB chip; a tighter budget derived chunk=2560 there and measured
+    # ~30% slower exact scoring from the extra dispatches
+    budget_elems = 640 * 1024 * 1024
     c = budget_elems // max(1, model_points * cell_cap * 8)
     return int(max(256, min(8192, (c // 256) * 256)))
 
