@@ -108,6 +108,35 @@ def main():
     _b, _w, _ct, _cs, stats = est.run_sweep(8192, chunk=2048, verbose=False)
     bases_per_sec = stats["bases_per_sec"]
 
+    # instance-mode end to end: the same scene with a synthetic pixel
+    # mapping + edge wall drives the REAL edge-aware path (sequential
+    # flood-fill sampling with the cross-chunk dispersion decay,
+    # stocs.cpp:559-751) — the reference's hardest path, and the round-4
+    # focus (36 -> ~370 bases/s on the packed fixture)
+    import dataclasses
+
+    rng_e = np.random.default_rng(11)
+    n_cap = scene.pos.shape[0]
+    eh, ew = 128, 192
+    flat = rng_e.choice(eh * ew, size=n_cap, replace=False)
+    pixel = np.stack([flat // ew, flat % ew], axis=-1).astype(np.int32)
+    edge_free = np.ones((eh, ew), bool)
+    edge_free[:, ew // 2] = False
+    escene = dataclasses.replace(
+        scene,
+        pixel=jnp.asarray(pixel),
+        edge_prob=jnp.asarray(
+            (pixel[:, 1] == ew // 2).astype(np.float32)
+        ),
+        edge_free=jnp.asarray(edge_free),
+        has_edge=True,
+    )
+    iest = StocsEstimator(model, escene, cfg)
+    iest.run_sweep(2048, chunk=1024, verbose=False)
+    iest.class_prob = escene.class_prob  # reset the decayed prior
+    _b, _w, _ct, _cs, istats = iest.run_sweep(2048, chunk=1024, verbose=False)
+    instance_bases_per_sec = istats["bases_per_sec"]
+
     print(
         json.dumps(
             {
@@ -126,6 +155,9 @@ def main():
                     "north-star metric"
                 ),
                 "end_to_end_bases_per_sec": round(bases_per_sec, 1),
+                "end_to_end_instance_bases_per_sec": round(
+                    instance_bases_per_sec, 1
+                ),
             }
         )
     )
