@@ -335,6 +335,12 @@ PRESETS = {
                 615.9578247070312, 246.33352661132812,
             ),
             depth_scale=1.0 / 8000.0,
+            # the dove model's densest PPF bin union holds 22,601 pairs
+            # (8 near-identical boxes saturate the bins); the default
+            # 16384 cap truncated ~10% of bases' pair lists. Full recall
+            # costs ~22% of the congruent phase on this fixture
+            # (docs/RESULTS.md round 4).
+            max_pairs_per_bin=24576,
         ),
     ),
     "linemod": Preset(

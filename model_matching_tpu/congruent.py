@@ -200,6 +200,10 @@ def tier_plan(p_cap: int):
     tiers = [(c, None) for c in (256, 512, 1024, 2048, 4096) if c < p_cap]
     if p_cap > 8192:
         tiers.append((8192, 4096))
+    if p_cap > 16384:
+        # a 24576-cap config (packed preset) would otherwise run every
+        # 8193..16384-pair base at the full top tier
+        tiers.append((16384, 4096))
     return tiers, (p_cap, 4096 if p_cap >= 8192 else None)
 
 
@@ -414,9 +418,15 @@ def extract_congruent_sets(
                 # [4, 6] row per FOUR pairs (gather_pair_block_srcs),
                 # cutting the tier's dominant gather traffic ~4x for ~6%
                 # more lanes (cap + 4*slack). slack >= 128 (one boundary
-                # block per CSR range), padded so every Q chunk's lane
-                # count divides 256 (Pallas tiling + sub stripes).
-                slack = 256 if nb >= 4 else 128
+                # block per CSR range), rounded up so the total lane
+                # count divides nb*256 — every Q chunk must be a
+                # 256-lane multiple (Pallas tiling + sub stripes), which
+                # a fixed 256/128 slack only guaranteed for the caps
+                # that happen to divide nb*1024 (a 24576 cap with nb=6
+                # needs 384)
+                m = nb * 256
+                rem = (cap + 4 * 128) % m
+                slack = 128 + ((m - rem) // 4 if rem else 0)
                 ep4 = pair_ep.reshape(-1, 24)
 
                 def side(off, cnt):

@@ -13,9 +13,18 @@ DEFAULT_DIR = "/tmp/mm_tpu_xla_cache"
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    """TPU backends only: the cache exists to amortize the slow tunnel
+    compiles. On the CPU backend it is actively harmful — XLA:CPU
+    executable serialization ABORTS the process on some large shard_map
+    programs, and entries AOT-compiled on another machine-feature set
+    warn about SIGILL on load — so CPU runs (tests, local work) never
+    get it. Callers must have completed any jax.distributed bootstrap
+    first (this touches the backend)."""
     try:
         import jax
 
+        if jax.default_backend() != "tpu":
+            return
         jax.config.update(
             "jax_compilation_cache_dir",
             path or os.environ.get("MM_TPU_CACHE", DEFAULT_DIR),

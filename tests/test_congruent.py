@@ -318,9 +318,13 @@ def test_tier_plan_shared_construction():
     assert congruent.tier_plan(16384) == (
         full + [(8192, 4096)], (16384, 4096)
     )
-    # the ADVICE case: p_cap beyond 16384 gains no phantom 16384 tier
-    assert congruent.tier_plan(20480) == (
-        full + [(8192, 4096)], (20480, 4096)
+    # p_cap beyond 16384 (packed preset's 24576): a 16384 intermediate
+    # tier keeps 8193..16384-pair bases off the top tier. The original
+    # ADVICE-r2 concern — executors disagreeing on the ladder — cannot
+    # recur because tier_plan is the single source of truth for both the
+    # per-base ladder and the sorted-grouped dispatch.
+    assert congruent.tier_plan(24576) == (
+        full + [(8192, 4096), (16384, 4096)], (24576, 4096)
     )
 
 

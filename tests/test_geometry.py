@@ -103,10 +103,12 @@ def test_voxel_centroid_matches_bruteforce(rng):
     out_pos = np.asarray(out_pos)[np.asarray(out_valid)]
     got_w = np.asarray(attrs["w"])[np.asarray(out_valid)]
 
-    # brute force
+    # brute force — pcl::VoxelGrid bins on the ABSOLUTE lattice via the
+    # float32 reciprocal (ops/voxel._voxel_ijk; tests/test_scene_oracle.py
+    # pins this against the real loader)
     p = pos[:250]
-    origin = p.min(0)
-    keys = tuple(map(tuple, np.floor((p - origin) / leaf).astype(int)))
+    inv_leaf = np.float32(1.0) / np.float32(leaf)
+    keys = tuple(map(tuple, np.floor(p * inv_leaf).astype(int)))
     groups = {}
     for i, k in enumerate(keys):
         groups.setdefault(k, []).append(i)
