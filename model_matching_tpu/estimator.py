@@ -794,7 +794,7 @@ class StocsEstimator:
         use_instance = self.scene.has_edge
 
         pool_t, pool_w, pool_s = [], [], []
-        chunk_valid, chunk_slot_valid = [], []
+        chunk_valid, chunk_slot_valid, pair_maxes = [], [], []
         unconverged = []  # device-side per chunk; summed after the loop
         start_chunk = 0
         resumed_unconverged = 0
@@ -914,9 +914,11 @@ class StocsEstimator:
             # device-side counts: converting per chunk would sync the host
             # loop and stall dispatch pipelining. chunk_valid = fit-valid
             # (the hypotheses stat); chunk_slot_valid = congruent-valid
-            # before the fit-time compaction (the overflow warning)
+            # before the fit-time compaction (the overflow warning);
+            # pair_maxes drives the pair-cap truncation warning
             chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
             chunk_slot_valid.append(n_slot_valid)
+            pair_maxes.append(jnp.max(sets.pair_counts))
             done_this_call = ci + 1 - start_chunk
             if (stop_after_chunks is not None
                     and done_this_call >= stop_after_chunks
@@ -936,6 +938,7 @@ class StocsEstimator:
             slvs=jnp.stack(
                 [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
             ),
+            pmx=(jnp.stack(pair_maxes).max() if pair_maxes else None),
         ))
         n_unconverged = resumed_unconverged + (
             int(th["unconv"]) if th["unconv"] is not None else 0
@@ -964,6 +967,15 @@ class StocsEstimator:
                 f"hypothesis slots, over score_compact_cap={cap}; overflow "
                 f"was not fitted or scored — raise the cap for full recall",
                 n_valid=int(slvs.max()), cap=cap,
+            )
+        if th["pmx"] is not None and int(th["pmx"]) > cfg.max_pairs_per_bin:
+            from .utils.log import warn
+
+            warn(
+                f"a PPF bin held {int(th['pmx'])} pairs; only "
+                f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
+                f"raise the cap for full recall",
+                pair_max=int(th["pmx"]), cap=cfg.max_pairs_per_bin,
             )
         if completed and checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)
