@@ -535,11 +535,16 @@ def extract_congruent_sets(
             # stripe count: each P row can contribute at most `sub`
             # selection candidates (one per stripe). Dense tiers keep 16
             # (the Pallas kernel's fixed stripe layout); the XLA small
-            # tiers use 64 — bases whose matches concentrate on a handful
-            # of P rows (common in sparse bins) starve the kept pool at
-            # 16 stripes (measured: a 92-match base represented only ~19
-            # candidates), and the reference keeps EVERY true set up to
-            # the cap (stocs_match_one_object.cpp:126-143)
+            # tiers use 64 + a top-2 per stripe — bases whose matches
+            # concentrate on a handful of P rows starve the kept pool at
+            # 16 one-per-stripe slots (measured: a 92-match base
+            # represented only ~19 candidates; 46 of its 52 true sets at
+            # 64 stripes + top-2), and the reference keeps EVERY true
+            # set up to the cap (stocs_match_one_object.cpp:126-143).
+            # A collision-free full-matrix selection (sub = chunk, no
+            # stripe reduction) was measured 3x SLOWER on the fixture
+            # chunk (848 vs 291 ms congruent phase) — top_k cost scales
+            # with its input — so the stripe reduction stays.
             sub = 16 if cap >= _PALLAS_MIN_CAP else 64
             while chunk % sub:
                 sub //= 2
