@@ -195,7 +195,21 @@ def matching_step_sharded(
     coarse_to_fine: bool = False,
 ):
     """One full matching step over the mesh. Returns (best_score,
-    best_world_transform [4,4], num_valid_hypotheses) as replicated values."""
+    best_world_transform [4,4], num_valid_hypotheses) as replicated values.
+
+    Class sampling only — an edge-mapped scene draws a WARNING (the
+    reference's instance path is sequential per base and cannot sample
+    inside the shard body; run_sweep_sharded covers instance-mode scenes
+    by sampling outside the mesh)."""
+    if scene.has_edge:
+        from ..utils.log import warn
+
+        warn(
+            "matching_step_sharded on an edge-mapped scene uses CLASS "
+            "sampling; for the reference's instance semantics use "
+            "run_sweep_sharded (sequential sampler outside the mesh) or "
+            "the single-chip StocsEstimator",
+        )
     n_dev = mesh.devices.size
     if cfg.number_of_bases % n_dev:
         raise ValueError(
