@@ -8,9 +8,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU's collective rendezvous TERMINATES THE PROCESS when
+    # participants miss its window (rendezvous.cc "Terminating process
+    # ..."; the sibling warn fires "Thread is unstuck! ... Perhaps the
+    # timeout is too short"). On this driver's single-core machine the 8
+    # virtual devices oversubscribe one CPU, and long suite runs
+    # occasionally starved a participant past the default terminate
+    # timeout — a fatal abort mid-suite in whatever sharded program ran
+    # at the time. Tests are correctness runs: wait, never kill.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=3600")
+os.environ["XLA_FLAGS"] = flags
 
 # A sitecustomize may have imported jax before this file runs, in which case
 # the env var above is read too late — force the platform through the config
