@@ -39,6 +39,20 @@ def rng():
     return np.random.default_rng(1234)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_accumulation():
+    """Drop jax's compiled-program caches after every test module.
+
+    A full-suite process accumulates hundreds of XLA:CPU JIT'd programs;
+    past some load the NEXT large compile segfaults inside LLVM
+    (observed repeatedly at ~75% of the suite, always on a big program
+    that compiles fine standalone and in shorter runs). Clearing between
+    modules costs some recompiles of shared programs but keeps the JIT
+    footprint bounded."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_ROOT = "/root/reference"
 
 
