@@ -187,6 +187,23 @@ class MatchConfig:
     # True forces it everywhere (tests use this to exercise interpret
     # mode), False disables.
     congruent_pallas: bool | None = None
+    # Small-XLA-tier selection pool shape: `congruent_sel_stripes`
+    # STRIDED stripes (column c -> stripe c % sub, each keeping its max
+    # random key) x `congruent_stripe_topn` successive-maximum levels
+    # per stripe. The stripe reduction exists because a full-matrix
+    # top_k scales with its input (measured 3x slower whole-phase,
+    # congruent.py); striding exists because a base's matches cluster
+    # in contiguous column runs (nearby pairs of one CSR range), which
+    # round 4's contiguous stripes funneled into few slots (kept-true/
+    # capped-true 0.97) while strided stripes spread a run of
+    # <= stripes*topn matches losslessly (0.9935 measured, the residual
+    # being dense-tier selection, not collisions). 256 stripes x 1
+    # level keeps the whole selection one max pass (128 measured ~65 ms/chunk cheaper than 256 — the top_k input halves); each extra level
+    # costs a masked re-reduce over the gate matrix (~55 ms/chunk on
+    # the fixture). Tiers narrower than the stripe count select over
+    # the full key matrix exactly.
+    congruent_sel_stripes: int = 128
+    congruent_stripe_topn: int = 1
     # Upper bound on flood-fill propagation sweeps (instance path).
     flood_fill_max_iters: int = 512
     # Fixed flood-fill sweep count (instance path). Each sweep combines an
@@ -251,6 +268,8 @@ class MatchConfig:
     #     TRUE congruent sets (the reference's contract,
     #     stocs_match_one_object.cpp:126-143). Without this, saturated
     #     bases kept ~half false positives (measured precision 0.49).
+    #     (Re-checking every stripe winner BEFORE the top-k measured 2x
+    #     the whole phase — congruent.py round-5 note.)
     congruent_exact_cone: bool = True
     # Dense-tier gate winners selected per kept slot before the exact
     # re-check. At precision ~0.5 an oversample of 3 keeps the

@@ -122,17 +122,46 @@ def _cone_sample_cells(dir_q, cos_alpha):
     return jnp.where(live, jnp.clip(cells, 0, 349), 350)
 
 
+def _colored_words(dir_q, cos_alpha):
+    """[L, _CONE_OH_W/32] uint32 bitmask of each Q lane's colored cone
+    cells (bit c%32 of word c//32 set iff angular cell c is colored by
+    the rasterization around dir_q at angle acos(cos_alpha)): the
+    samples are OR-reduced into 11 words via [L, S, 11] compares —
+    ~16x fewer element ops and ~8x less intermediate traffic than a
+    direct [L, S, 352] iota-compare + any-reduce, which at ~26 ms/chunk
+    was the dominant overhead of the round-4 exact-cone upgrade
+    (docs/RESULTS.md). A scatter build was rejected earlier still: it
+    lowers to a sort chain on TPU and cost more than the whole gate."""
+    cells = _cone_sample_cells(dir_q, cos_alpha)           # [L, S]
+    nw = _CONE_OH_W // 32
+    bit = jnp.left_shift(
+        jnp.uint32(1), (cells & 31).astype(jnp.uint32)
+    )                                                      # [L, S]
+    word = cells >> 5
+    # one fused [L, S] compare + OR-reduce per word: the obvious
+    # [L, S, nw] one-shot build materializes a 42 MB intermediate per
+    # dense-tier base (L ~ 17k lanes), the word loop keeps it at [L, S]
+    words = [
+        jax.lax.reduce(
+            jnp.where(word == w, bit, jnp.uint32(0)),
+            jnp.uint32(0), jax.lax.bitwise_or, (1,),
+        )
+        for w in range(nw)
+    ]
+    return jnp.stack(words, axis=-1)                       # [L, nw]
+
+
 def _colored_onehot(dir_q, cos_alpha):
     """[L, _CONE_OH_W] bf16 indicator of each Q lane's colored cone cells
-    — the Q side of the in-gate exact cone matmul. Built as an
-    iota-compare + any-reduce (a scatter build lowered to a sort chain on
-    TPU and cost more than the whole gate); bf16 holds 0/1 exactly and
-    halves the MXU operand traffic."""
-    cells = _cone_sample_cells(dir_q, cos_alpha)
-    iota = jnp.arange(_CONE_OH_W, dtype=jnp.int32)
-    return jnp.any(
-        cells[:, :, None] == iota[None, None, :], axis=1
-    ).astype(jnp.bfloat16)
+    — the Q side of the in-gate exact cone matmul, expanded from the
+    _colored_words bitmask ([L, 11, 32] shifts). bf16 holds 0/1 exactly
+    and halves the MXU operand traffic."""
+    words = _colored_words(dir_q, cos_alpha)
+    oh = (
+        words[:, :, None]
+        >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    ) & jnp.uint32(1)                                      # [L, nw, 32]
+    return oh.reshape(-1, _CONE_OH_W).astype(jnp.bfloat16)
 
 
 def _cell_onehot(dir_p):
@@ -190,14 +219,21 @@ def tier_plan(p_cap: int):
     is the ascending [(cap, q_block)] list below the top tier and `top`
     is (p_cap, q_block).
 
-    256..4096 run the full [cap, cap] gate matrix; 8192 and any
+    64..4096 run the full [cap, cap] gate matrix; 8192 and any
     p_cap >= 8192 block the Q axis in 4096-wide chunks to bound the gate
     intermediate at [cap, 4096]. The 8192 tier exists because the fixture
     p99 is 7887 pairs — most "dense" bases run at half the top-tier
     matrix. The 512/2048 intermediates halve the matrix for bases just
     over the 256/1024 caps: whole-phase 750 -> 694 ms on the fixture
-    chunk (docs/RESULTS.md round-3 table)."""
-    tiers = [(c, None) for c in (256, 512, 1024, 2048, 4096) if c < p_cap]
+    chunk (docs/RESULTS.md round-3 table). The 64/128 tiers carry the
+    bulk of the sorted groups (fixture load p50 = 30 pairs): the gather,
+    cone one-hot build and selection all scale with the cap, so the
+    median base runs a 4-16x smaller program than the former 256 floor
+    (round-5 measurement in docs/RESULTS.md)."""
+    tiers = [
+        (c, None) for c in (64, 128, 256, 512, 1024, 2048, 4096)
+        if c < p_cap
+    ]
     if p_cap > 8192:
         tiers.append((8192, 4096))
     if p_cap > 16384:
@@ -567,9 +603,32 @@ def extract_congruent_sets(
                 and pl % 256 == 0
                 and chunk % 256 == 0
             )
-            # small XLA tiers additionally keep the top-2 keys per stripe
-            # (a single-P-row base is otherwise capped at `sub` kept sets)
-            top2 = (not use_pallas) and cap < _PALLAS_MIN_CAP and nb == 1
+            # Small XLA tiers use STRIDED stripes (column c -> stripe
+            # c % sub) with a wider stripe count and optional top-N
+            # levels per stripe: a base's matches cluster in contiguous
+            # column runs (nearby pairs of the same CSR range), which
+            # contiguous stripes funnel into few slots (round 4's 64
+            # contiguous stripes + top-2 measured 0.97 kept-true/
+            # capped-true) while strided assignment spreads a run of
+            # c <= topn*sub matches across distinct slots losslessly
+            # (0.9935 at sub=256, tests/test_reference_oracle.py — the
+            # residual is dense-tier, not stripe collisions). sub rides
+            # the 128-lane axis (multiples of a vreg row), so the
+            # [pl, chunk/sub, sub] max reduces across full registers.
+            # Tiers narrower than the stripe count select over the full
+            # [pl, chunk] key matrix exactly. Dense tiers keep the
+            # contiguous 16-stripe membership the Pallas kernel's static
+            # lane slices implement (bit-equality contract,
+            # tests/test_pallas_congruent.py).
+            small_xla = (
+                (not use_pallas) and cap < _PALLAS_MIN_CAP and nb == 1
+            )
+            topn = max(1, cfg.congruent_stripe_topn) if small_xla else 1
+            if small_xla:
+                sub = max(128, min(cfg.congruent_sel_stripes, chunk))
+                while chunk % sub:
+                    sub //= 2
+            full_sel = small_xla and topn * sub >= chunk
             # ... and run the EXACT cone rasterization inside the gate as
             # a [P, W] x [W, Q] one-hot MXU matmul (cell(dir_P) in
             # coloredSet(dir_Q, alpha)), replacing the cos-tolerance
@@ -679,20 +738,29 @@ def extract_congruent_sets(
                 rq = _mix32_jnp(cols ^ salt ^ jnp.uint32(0x9E3779B9))
                 v = ((rp ^ rq[None, :]) & rand_mask) | marker | cols[None, :]
                 v = jnp.where(match, v, jnp.uint32(0))
-                vs = v.reshape(pl, sub, chunk // sub)
-                m1 = jnp.max(vs, axis=2)
-                if top2:
-                    # second-per-stripe candidates double the selection
-                    # pool for bases whose matches concentrate on few P
-                    # rows. Keys are unique within a row (the column index
-                    # rides the low bits), so masking the stripe max and
-                    # re-reducing is an exact second maximum.
-                    m2 = jnp.max(
-                        jnp.where(vs == m1[:, :, None], jnp.uint32(0), vs),
-                        axis=2,
-                    )
-                    m1 = jnp.concatenate([m1, m2], axis=1)
-                return m1, jnp.sum(match.astype(jnp.int32))
+                total = jnp.sum(match.astype(jnp.int32))
+                if full_sel:
+                    return v, total
+                if small_xla:
+                    # strided membership (see the stripe-count comment)
+                    vs = v.reshape(pl, chunk // sub, sub)
+                    red = lambda a: jnp.max(a, axis=1)
+                    mask1 = lambda cur, m: cur == m[:, None, :]
+                else:
+                    vs = v.reshape(pl, sub, chunk // sub)
+                    red = lambda a: jnp.max(a, axis=2)
+                    mask1 = lambda cur, m: cur == m[:, :, None]
+                # optional top-N levels per stripe. Keys are unique
+                # within a row (the column index rides the low bits),
+                # so masking the running max and re-reducing is an
+                # exact successive maximum.
+                outs = [red(vs)]
+                cur = vs
+                for _ in range(topn - 1):
+                    cur = jnp.where(mask1(cur, outs[-1]), jnp.uint32(0), cur)
+                    outs.append(red(cur))
+                m1 = outs[0] if topn == 1 else jnp.concatenate(outs, axis=1)
+                return m1, total
 
             if use_pallas:
                 pass  # row_best/total computed by the kernel above
@@ -725,7 +793,11 @@ def extract_congruent_sets(
             # survivors by the same random keys — the kept set is a
             # uniform random subsample of TRUE congruent sets, restoring
             # the reference's subsample-over-true-sets contract
-            # (stocs_match_one_object.cpp:126-143).
+            # (stocs_match_one_object.cpp:126-143). (A pre-top-k exact
+            # re-check of EVERY stripe winner was measured 2x the whole
+            # phase: the cone rasterization then runs over all [pl, SUB]
+            # winners or all ql lanes per dense base instead of the
+            # k_sel selected ones — docs/RESULTS.md round 5.)
             recheck = cfg.congruent_exact_cone and not exact_in_gate
             k_sel = k_cap
             if recheck:
@@ -737,8 +809,8 @@ def extract_congruent_sets(
                 row_best.reshape(-1).astype(jnp.int32), k_sel
             )
             gate_ok = top > 0
-            # selection width per P row: `sub` stripes, doubled by the
-            # small-tier top-2 (row_best is [pl, sub] or [pl, 2*sub])
+            # selection width per P row: the stripe count (possibly x
+            # topn levels) — row_best is [pl, width] or [pl, chunk]
             pi = slot // row_best.shape[-1]
             qi = top & ((1 << col_bits) - 1)
             if recheck:

@@ -573,6 +573,10 @@ def run_sweep_sharded(
         os.remove(checkpoint_path)
     processed = (stopped_at if stopped_at is not None else n_chunks) * chunk
     extra = {"devices": n_dev, "completed": completed}
+    if th["pmx"] is not None:
+        # exposed so callers (bench.py) can FAIL on recall-compromising
+        # truncation instead of relying on the warning text
+        extra["pair_count_max"] = int(th["pmx"])
     if not completed:
         extra["next_chunk"] = stopped_at
 

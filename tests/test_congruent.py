@@ -309,10 +309,10 @@ def test_tier_plan_shared_construction():
     then-extant partitioned executor broke output-identity for
     p_cap > 16384). tier_plan is the single source of truth; pin its
     shape at the boundary caps."""
-    full = [(256, None), (512, None), (1024, None), (2048, None),
-            (4096, None)]
-    assert congruent.tier_plan(1024) == (full[:2], (1024, None))
-    assert congruent.tier_plan(4096) == (full[:4], (4096, None))
+    full = [(64, None), (128, None), (256, None), (512, None),
+            (1024, None), (2048, None), (4096, None)]
+    assert congruent.tier_plan(1024) == (full[:4], (1024, None))
+    assert congruent.tier_plan(4096) == (full[:6], (4096, None))
     # p_cap == 8192: top tier Q-blocks (monolithic top_qb uses >= 8192)
     assert congruent.tier_plan(8192) == (full, (8192, 4096))
     assert congruent.tier_plan(16384) == (
