@@ -575,8 +575,15 @@ def cmd_eval(argv):
     p.add_argument("est", help="estimated pose file (one pose per line, "
                                "12 or 16 floats) or directory of "
                                "best_pose_candidate_*.txt files")
-    p.add_argument("gt", help="ground-truth pose file, or directory with "
-                              "files named like the estimates")
+    p.add_argument("gt", help="ground-truth pose file, a directory with "
+                              "files named like the estimates, or a BOP "
+                              "scene_gt.json (then pass --im-id/--obj-id)")
+    p.add_argument("--im-id", type=int, default=None,
+                   help="BOP image id inside scene_gt.json")
+    p.add_argument("--obj-id", type=int, default=None,
+                   help="BOP object id inside scene_gt.json (multiple GT "
+                        "instances score each estimate against its "
+                        "best-matching instance)")
     p.add_argument("--model", required=True,
                    help="model PLY the poses transform (model_search.ply "
                         "or textured_vertices.ply)")
@@ -593,6 +600,25 @@ def cmd_eval(argv):
         return 1
     mpos, _n, _c = ply.read_ply_cloud(args.model, scale=args.model_scale)
 
+    bop_gt = None
+    if args.gt.endswith(".json"):
+        # BOP-format ground truth (io/bop.py): one command from a mounted
+        # BOP dataset to the ADD-S table — BASELINE.json's accuracy
+        # criterion the day real YCB/LINEMOD annotations are available
+        from .io import bop
+
+        if args.im_id is None or args.obj_id is None:
+            print("error: a scene_gt.json ground truth needs --im-id "
+                  "and --obj-id")
+            return 1
+        try:
+            bop_gt = bop.gt_poses(
+                bop.load_scene_gt(args.gt), args.im_id, args.obj_id
+            )
+        except KeyError as e:
+            print(f"error: {e}")
+            return 1
+
     if os.path.isdir(args.est):
         names = sorted(
             f for f in os.listdir(args.est)
@@ -601,13 +627,17 @@ def cmd_eval(argv):
         if not names:
             print(f"error: no best_pose_candidate_*.txt under {args.est}")
             return 1
-        pairs = [(os.path.join(args.est, n), os.path.join(args.gt, n))
-                 for n in names]
-        missing = [g for _, g in pairs if not os.path.exists(g)]
-        if missing:
-            print("error: missing ground-truth files:\n  "
-                  + "\n  ".join(missing))
-            return 1
+        if bop_gt is not None:
+            # one scene_gt.json serves every estimate file
+            pairs = [(os.path.join(args.est, n), args.gt) for n in names]
+        else:
+            pairs = [(os.path.join(args.est, n), os.path.join(args.gt, n))
+                     for n in names]
+            missing = [g for _, g in pairs if not os.path.exists(g)]
+            if missing:
+                print("error: missing ground-truth files:\n  "
+                      + "\n  ".join(missing))
+                return 1
     else:
         pairs = [(args.est, args.gt)]
 
@@ -617,6 +647,7 @@ def cmd_eval(argv):
         per_file[os.path.basename(est_path)] = ev.evaluate_pose_files(
             est_path, gt_path, mpos,
             threshold_fraction=args.threshold_fraction, diameter=dia,
+            gt_poses=bop_gt,
         )
     all_add = [v for r in per_file.values() for v in r["add"]]
     all_adds = [v for r in per_file.values() for v in r["adds"]]

@@ -44,6 +44,7 @@ from .ppf_table import (
 # smallest pair cap routed to the Pallas gate kernel (see match_block)
 _PALLAS_MIN_CAP = 4096
 
+
 # IndexedNormalSet angular-grid constants (reference: stocs.cpp:794
 # instantiates IndexedNormalSet<Point,3,7,float>; normalset.h:86)
 _NG = 7
@@ -450,33 +451,41 @@ def extract_congruent_sets(
             npairs = table.pairs.shape[0]
 
             if blocked:
-                # dense tiers gather at 4-pair block granularity: one
-                # [4, 6] row per FOUR pairs (gather_pair_block_srcs),
-                # cutting the tier's dominant gather traffic ~4x for ~6%
-                # more lanes (cap + 4*slack). slack >= 128 (one boundary
+                # dense tiers gather at blk-pair block granularity: one
+                # wide row per blk pairs (gather_pair_block_srcs),
+                # cutting the tier's dominant gather traffic ~blk-fold
+                # for ~6% more lanes (cap + blk*slack) — XLA row gathers
+                # issue at a fixed rows/s regardless of row width. blk=8
+                # when the table size allows the [P/8, 48] view (tables
+                # are padded to powers of two; a non-divisible custom
+                # table falls back to 4). slack >= 128 (one boundary
                 # block per CSR range), rounded up so the total lane
                 # count divides nb*256 — every Q chunk must be a
                 # 256-lane multiple (Pallas tiling + sub stripes), which
                 # a fixed 256/128 slack only guaranteed for the caps
                 # that happen to divide nb*1024 (a 24576 cap with nb=6
                 # needs 384)
+                blk = 4  # 8-pair rows measured +7 ms whole-phase (r5)
                 m = nb * 256
-                rem = (cap + 4 * 128) % m
-                slack = 128 + ((m - rem) // 4 if rem else 0)
-                ep4 = pair_ep.reshape(-1, 24)
+                rem = (cap + blk * 128) % m
+                slack = 128 + ((m - rem) // blk if rem else 0)
+                epb = pair_ep.reshape(-1, 6 * blk)
 
                 def side(off, cnt):
                     bsrc, lok, _t = gather_pair_block_srcs(
-                        table, off, cnt, cap, 4, slack
+                        table, off, cnt, cap, blk, slack
                     )
-                    lanes = bsrc.shape[0] * 4
-                    rows = ep4[bsrc].reshape(lanes, 6)
+                    lanes = bsrc.shape[0] * blk
+                    rows = epb[bsrc].reshape(lanes, 6)
                     # valid lanes are a block-compacted prefix: its length
                     # bounds the Pallas kernel's dynamic grid
                     bcnt = jnp.where(
-                        cnt > 0, (off + cnt + 3) // 4 - off // 4, 0
+                        cnt > 0,
+                        (off + cnt + blk - 1) // blk - off // blk, 0,
                     )
-                    nlanes = jnp.minimum(jnp.sum(bcnt), bsrc.shape[0]) * 4
+                    nlanes = (
+                        jnp.minimum(jnp.sum(bcnt), bsrc.shape[0]) * blk
+                    )
                     return rows, lok.reshape(lanes), nlanes
             else:
                 def side(off, cnt):
@@ -503,12 +512,13 @@ def extract_congruent_sets(
                 # clipped — masked downstream by quad_valid exactly like
                 # the old clipped gather.
                 if blocked:
-                    bstart = off // 4
+                    bstart = off // blk
                     bcnt = jnp.where(
-                        cnt > 0, (off + cnt + 3) // 4 - bstart, 0
+                        cnt > 0,
+                        (off + cnt + blk - 1) // blk - bstart, 0,
                     )
                     cumb = jnp.cumsum(bcnt) - bcnt
-                    t = sel // 4
+                    t = sel // blk
                     m = (
                         (cumb[None, :] <= t[:, None])
                         & (t[:, None] < (cumb + bcnt)[None, :])
@@ -516,7 +526,7 @@ def extract_congruent_sets(
                     g = t + jnp.sum(
                         jnp.where(m, (bstart - cumb)[None, :], 0), axis=1
                     )
-                    src = g * 4 + sel % 4
+                    src = g * blk + sel % blk
                 else:
                     start = jnp.cumsum(cnt) - cnt
                     m = (

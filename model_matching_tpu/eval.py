@@ -114,29 +114,33 @@ def read_pose_file(path: str):
     return np.stack(poses).astype(np.float32)
 
 
-def evaluate_pose_files(est_path: str, gt_path: str, model_pos,
-                        threshold_fraction: float = 0.1,
-                        diameter: float | None = None) -> dict:
-    """ADD / ADD-S / pass-rate for the pose(s) in `est_path` against
-    `gt_path` (same line-per-pose format; a single GT line broadcasts over
-    multiple estimates). Returns a JSON-ready dict — BASELINE.json's
-    "ADD-S parity" criterion is this function over a dataset's scenes."""
-    est = read_pose_file(est_path)
-    gt = read_pose_file(gt_path)
-    if gt.shape[0] == 1 and est.shape[0] > 1:
-        gt = np.broadcast_to(gt, est.shape)
-    if est.shape[0] != gt.shape[0]:
-        raise ValueError(
-            f"pose count mismatch: {est_path} has {est.shape[0]}, "
-            f"{gt_path} has {gt.shape[0]}"
-        )
+def evaluate_poses(est: np.ndarray, gt: np.ndarray, model_pos,
+                   threshold_fraction: float = 0.1,
+                   diameter: float | None = None) -> dict:
+    """ADD / ADD-S / pass-rate for pose arrays [K, 4, 4] (a single GT
+    pose broadcasts over multiple estimates; with SEVERAL GT instances —
+    a BOP image holding N copies of the object — each estimate is scored
+    against its best-matching instance, the BOP convention for ADD-S on
+    multi-instance scenes). Returns a JSON-ready dict."""
+    est = np.asarray(est, np.float32).reshape(-1, 4, 4)
+    gt = np.asarray(gt, np.float32).reshape(-1, 4, 4)
     mp = jnp.asarray(np.asarray(model_pos, np.float32))
     dia = model_diameter(model_pos) if diameter is None else float(diameter)
-    add = np.asarray(add_metric(jnp.asarray(est), jnp.asarray(gt), mp))
-    adds = np.asarray(adds_metric(jnp.asarray(est), jnp.asarray(gt), mp))
+    if gt.shape[0] == est.shape[0]:
+        add = np.asarray(add_metric(jnp.asarray(est), jnp.asarray(gt), mp))
+        adds = np.asarray(adds_metric(jnp.asarray(est), jnp.asarray(gt), mp))
+    else:
+        # instance matching: [E, G] metric matrices, min over GT instances
+        add = np.asarray(add_metric(
+            jnp.asarray(est)[:, None], jnp.asarray(gt)[None, :], mp
+        )).min(axis=1)
+        adds = np.asarray(adds_metric(
+            jnp.asarray(est)[:, None], jnp.asarray(gt)[None, :], mp
+        )).min(axis=1)
     thr = threshold_fraction * dia
     return {
         "num_poses": int(est.shape[0]),
+        "num_gt": int(gt.shape[0]),
         "model_diameter": dia,
         "threshold": float(thr),
         "threshold_fraction": float(threshold_fraction),
@@ -147,3 +151,28 @@ def evaluate_pose_files(est_path: str, gt_path: str, model_pos,
         "add_pass_rate": float((add < thr).mean()),
         "adds_pass_rate": float((adds < thr).mean()),
     }
+
+
+def evaluate_pose_files(est_path: str, gt_path: str, model_pos,
+                        threshold_fraction: float = 0.1,
+                        diameter: float | None = None,
+                        gt_poses: np.ndarray | None = None) -> dict:
+    """ADD / ADD-S / pass-rate for the pose(s) in `est_path` against
+    `gt_path` (same line-per-pose format; a single GT line broadcasts over
+    multiple estimates) — or against `gt_poses` directly (the BOP
+    scene_gt.json route, io/bop.py). Returns a JSON-ready dict —
+    BASELINE.json's "ADD-S parity" criterion is this function over a
+    dataset's scenes."""
+    est = read_pose_file(est_path)
+    gt = gt_poses if gt_poses is not None else read_pose_file(gt_path)
+    gt = np.asarray(gt, np.float32).reshape(-1, 4, 4)
+    if est.shape[0] != gt.shape[0] and gt.shape[0] != 1 \
+            and gt_poses is None:
+        raise ValueError(
+            f"pose count mismatch: {est_path} has {est.shape[0]}, "
+            f"{gt_path} has {gt.shape[0]}"
+        )
+    return evaluate_poses(
+        est, gt, model_pos,
+        threshold_fraction=threshold_fraction, diameter=diameter,
+    )

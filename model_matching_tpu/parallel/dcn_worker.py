@@ -148,6 +148,34 @@ def main(argv=None) -> int:
         verbose=False,
     )
 
+    # instance-mode sweep over the SAME multi-process mesh: the
+    # sequential flood-fill sampler runs per process and process 0's
+    # chunk state is broadcast (run_sweep_sharded docstring) — the DCN
+    # counterpart of the reference's hardest path (stocs.cpp:559-751)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    h, w = 24, 32
+    n_scene = scene.pos.shape[0]
+    flat = rng.choice(h * w, size=n_scene, replace=False)
+    pixel = np.stack([flat // w, flat % w], axis=-1).astype(np.int32)
+    edge_free = np.ones((h, w), bool)
+    edge_free[:, w // 2] = False
+    escene = dataclasses.replace(
+        scene,
+        pixel=jnp.asarray(pixel),
+        edge_prob=jnp.asarray((pixel[:, 1] == w // 2).astype(np.float32)),
+        edge_free=jnp.asarray(edge_free),
+        has_edge=True,
+    )
+    inst_best, inst_w, _ict, _ics, inst_stats = run_sweep_sharded(
+        mesh, model, escene, cfg,
+        total_bases=2 * n_global, chunk=n_global, keep_per_chunk=n_global,
+        verbose=False,
+    )
+
     out = {
         "process_id": a.process_id,
         "process_count": int(jax.process_count()),
@@ -158,6 +186,9 @@ def main(argv=None) -> int:
         "sweep_best": float(best_lcp),
         "sweep_pose": np.asarray(best_w).tolist(),
         "sweep_clusters": len(cl_s),
+        "instance_best": float(inst_best),
+        "instance_pose": np.asarray(inst_w).tolist(),
+        "instance_hyp": int(inst_stats["hypotheses"]),
     }
     with open(a.out, "w") as f:
         json.dump(out, f)

@@ -67,6 +67,28 @@ def make_mesh(devices=None, axis: str = HYP_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def _globalize_hyp(tree, mesh: Mesh):
+    """Promote identical process-local arrays to GLOBAL arrays sharded
+    along the hypothesis axis. Multi-process instance sweeps sample the
+    chunk outside the mesh (every process holds the full, broadcast-
+    agreed chunk — a few KB of indices/invariants); the jitted shard
+    program's P(HYP_AXIS) in_specs then need global arrays, with each
+    process contributing the slices its devices own."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P(HYP_AXIS))
+
+    def leaf(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sh, lambda idx, x=x: x[idx]
+        )
+
+    return jax.tree.map(leaf, tree)
+
+
 def _globalize(tree, mesh: Mesh):
     """Make process-local inputs valid for a jit over a multi-process mesh.
 
@@ -363,9 +385,12 @@ def run_sweep_sharded(
     stocs.cpp:559-751) produces each chunk's bases on the host program —
     its per-base prior dependency cannot shard — and phases 2-4 of the
     sampled chunk run under shard_map over the hypothesis axis, scored
-    with the chunk's sampling-time decayed prior. Single-process meshes
-    only (the sampler would have to replicate deterministically across
-    DCN hosts; refused rather than silently diverging).
+    with the chunk's sampling-time decayed prior. On multi-process (DCN)
+    meshes every process runs the sampler locally and process 0's tiny
+    chunk state (indices, invariants, valid mask, decayed prior) is
+    broadcast_one_to_all so the sweep can never fork across hosts;
+    phases 2-4 then shard over the global mesh exactly like the class
+    path (tests/test_multihost.py asserts 2-process == 1-process).
 
     `checkpoint_path` / `checkpoint_every` / `stop_after_chunks` mirror
     StocsEstimator.run_sweep: the sweep state (pooled winners, chunk
@@ -389,12 +414,6 @@ def run_sweep_sharded(
 
     use_instance = scene.has_edge
     n_dev = mesh.devices.size
-    if use_instance and jax.process_count() > 1:
-        raise ValueError(
-            "instance-mode sharded sweeps are single-process (ICI) only: "
-            "the sequential flood-fill sampler runs outside the mesh and "
-            "its state does not replicate across DCN hosts"
-        )
     if chunk % n_dev:
         raise ValueError(f"chunk={chunk} not divisible by mesh size {n_dev}")
     b_local = chunk // n_dev
@@ -411,8 +430,12 @@ def run_sweep_sharded(
     key0 = jax.random.PRNGKey(seed_used)
     t_start = time.perf_counter()
     t_prev = 0.0
+    # the instance sampler runs OUTSIDE the mesh on each process's local
+    # devices — it must read the process-local packs, not the globalized
+    # (multi-process-sharded) ones
+    model_l, scene_l = model, scene
     model, scene = _globalize((model, scene), mesh)
-    class_prob = scene.class_prob
+    class_prob = scene_l.class_prob
     bits = None if use_instance else _exists_bits(
         model.table, scene.pos, scene.normal,
         cfg.ppf_tr_discretization, cfg.ppf_rot_discretization,
@@ -484,7 +507,7 @@ def run_sweep_sharded(
                 int(jnp.stack(unconverged).sum()) if unconverged else 0
             ),
             elapsed=t_prev + (time.perf_counter() - t_start),
-            prob_decayed=class_prob is not scene.class_prob,
+            prob_decayed=class_prob is not scene_l.class_prob,
             class_prob=class_prob,
         )
 
@@ -497,13 +520,38 @@ def run_sweep_sharded(
             # the single-chip sweep, so the sampled bases (and the decayed
             # prior) are identical to StocsEstimator.run_sweep's
             inst = _phase_sample_instance(
-                k_sample, model.table, scene, class_prob, cfg_chunk, chunk,
+                k_sample, model_l.table, scene_l, class_prob, cfg_chunk,
+                chunk,
             )
             class_prob = inst.class_prob
-            unconverged.append(jnp.sum(~inst.fill_converged))
+            bases_t = (inst.indices, inst.invariant1, inst.invariant2,
+                       inst.valid)
+            fill_conv = inst.fill_converged
+            if jax.process_count() > 1:
+                # DCN: every process ran the (deterministic) sampler on
+                # its local devices; process 0's output is made
+                # authoritative by a broadcast of the tiny chunk state
+                # (indices + invariants + valid + the decayed prior),
+                # so a platform-level divergence can never fork the
+                # sweep across hosts (reference chain:
+                # stocs.cpp:559-751). Phases 2-4 then run over the
+                # GLOBAL mesh exactly like the single-process path.
+                from jax.experimental import multihost_utils as mhu
+
+                bases_t, class_prob, fill_conv = jax.tree.map(
+                    jnp.asarray,
+                    mhu.broadcast_one_to_all(jax.tree.map(
+                        np.asarray, (bases_t, class_prob, fill_conv)
+                    )),
+                )
+                gargs = _globalize_hyp(bases_t, mesh)
+                gcp = _globalize(class_prob, mesh)
+                gk = _globalize(k_cong, mesh)
+            else:
+                gargs, gcp, gk = bases_t, class_prob, k_cong
+            unconverged.append(jnp.sum(~fill_conv))
             s, t, w, nv, slot_max, pair_mx = step(
-                model, scene, class_prob, k_cong,
-                inst.indices, inst.invariant1, inst.invariant2, inst.valid,
+                model, scene, gcp, gk, *gargs,
             )
         else:
             gkey = _globalize(key, mesh)
@@ -580,9 +628,15 @@ def run_sweep_sharded(
     if not completed:
         extra["next_chunk"] = stopped_at
 
+    # the finish tail (ICP refine) mixes this prior with the globalized
+    # model/scene in one jit — promote the instance path's process-local
+    # decayed prior to a replicated global array on DCN meshes
+    final_prob = (
+        _globalize(class_prob, mesh) if use_instance else scene.class_prob
+    )
     return finish_sweep_pool(
         jnp.concatenate(pool_s), jnp.concatenate(pool_t),
-        jnp.concatenate(pool_w), model, scene, class_prob, cfg,
+        jnp.concatenate(pool_w), model, scene, final_prob, cfg,
         total_bases=processed, n_hyp_total=n_hyp_total,
         t_start=t_start - t_prev, verbose=verbose,
         event="stocs_sweep_sharded",
