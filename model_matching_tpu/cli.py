@@ -441,34 +441,16 @@ def cmd_stocs_multi(argv):
         edge_path if os.path.exists(edge_path) else None, cfg,
     )
     if scene.has_edge:
-        # edge-mapped scene: honor the reference's instance-path semantics
-        # (flood-fill segments + per-base dispersion decay,
-        # stocs.cpp:114-118,559-751) by matching each object through the
-        # estimator — the decay makes sampling sequential per object, so
-        # the single fused lax.map program (class sampling only) would
-        # silently change semantics. Each object decays its own prior,
-        # like the reference's one-process-per-object runs.
-        import jax as _jax
-
-        from .estimator import StocsEstimator
-
-        print("edge-mapped scene: running the instance path per object "
-              "(sequential dispersion decay; the fused one-program path "
-              "is class sampling only)")
-        best, poses, nhyp = [], [], []
-        for o, obj in enumerate(objects):
-            sc_o = dataclasses.replace(scene, class_prob=probs[o])
-            r = StocsEstimator(models[o], sc_o, dataclasses.replace(
-                cfg, seed=args.seed)).run(verbose=False)
-            best.append(max(r.best_lcp, 0.0) if r.best_index >= 0 else 0.0)
-            poses.append(r.best_world_transform)
-            nhyp.append(r.num_hypotheses)
-        best = np.asarray(best)
-        poses = np.asarray(poses)
-        nhyp = np.asarray(nhyp)
-    else:
-        best, poses, nhyp = match_all_objects(models, scene, probs, cfg,
-                                              seed=args.seed)
+        # edge-mapped scene: match_all_objects runs the reference's
+        # instance-path semantics natively since round 5 — each object's
+        # sequential flood-fill/dispersion chain samples outside the
+        # program against its own prior (the reference's one-process-
+        # per-object isolation, stocs_match_one_object.cpp:89-93), and
+        # phases 2-4 of ALL objects run in the one fused program
+        print("edge-mapped scene: instance path (per-object sequential "
+              "dispersion decay; fused phases 2-4)")
+    best, poses, nhyp = match_all_objects(models, scene, probs, cfg,
+                                          seed=args.seed)
     out_root = (
         os.path.join(args.output_root,
                      os.path.basename(args.scene_path.rstrip("/")))

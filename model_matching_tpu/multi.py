@@ -106,6 +106,21 @@ def _match_one(model: ModelPack, scene: ScenePack, prior: jax.Array,
         min_distance_base=cfg.min_distance_base,
         internal_angle_threshold=cfg.internal_angle_threshold,
     )
+    return _match_tail(
+        model, scene, prior, k_cong, bases, cfg, d2_implied
+    )
+
+
+def _match_tail(model: ModelPack, scene: ScenePack, prior: jax.Array,
+                k_cong: jax.Array, bases, cfg: MatchConfig,
+                d2_implied: bool):
+    """Phases 2-4 (congruent -> fit -> score) + per-object argmax for
+    already-sampled bases — shared by the class-sampling program
+    (_match_one) and the instance-mode presampled program, whose
+    sequential flood-fill sampling runs outside the fused lax.map.
+    `prior` is the object's sampling-time (possibly decayed) prior; the
+    score reads it explicitly, mirroring the single-object instance
+    path (estimator._phase_score with the decayed class_prob)."""
     sets = congruent.extract_congruent_sets(
         k_cong, model.table, model.pos, scene.pos, scene.normal,
         bases.indices, bases.invariant1, bases.invariant2, bases.valid,
@@ -152,47 +167,104 @@ def _match_all(stacked: ModelPack, scene: ScenePack, probs: jax.Array,
     )
 
 
+@partial(jax.jit, static_argnames=("cfg", "d2_implied"))
+def _match_all_presampled(stacked: ModelPack, scene: ScenePack,
+                          probs: jax.Array, keys: jax.Array,
+                          bidx: jax.Array, inv1: jax.Array,
+                          inv2: jax.Array, bvalid: jax.Array,
+                          cfg: MatchConfig, d2_implied: bool = False):
+    """Instance-mode multi-object program: phases 2-4 fused over the
+    object axis for PRE-SAMPLED bases. The reference dispatches the
+    edge-aware instance path per object process
+    (stocs_match_one_object.cpp:89-93, stocs.cpp:559-751); its
+    sequential flood-fill sampling cannot live inside the fused lax.map,
+    so match_all_objects samples each object's chain outside (each
+    object decays its OWN prior, exactly like the reference's
+    one-process-per-object runs) and this program runs everything after.
+    probs [O, P] are the per-object sampling-time DECAYED priors; bidx
+    [O, B, 4], inv1/inv2 [O, B], bvalid [O, B]; keys [O, 2] are the
+    per-object congruent keys."""
+    def one(args):
+        model, prior, kc, bi, i1, i2, bv = args
+        bases = sampling.SampledBases(bi, i1, i2, bv)
+        return _match_tail(
+            model, scene, prior, kc, bases, cfg, d2_implied
+        )
+
+    return jax.lax.map(
+        one, (stacked, probs, keys, bidx, inv1, inv2, bvalid)
+    )
+
+
 def _match_all_sharded(mesh, stacked: ModelPack, scene: ScenePack,
                        probs: jax.Array, keys: jax.Array, cfg: MatchConfig,
-                       d2_implied: bool, n_obj: int):
+                       d2_implied: bool, n_obj: int, presampled=None):
     """The multi-object program sharded over the mesh's object axis: each
     device lax.maps the same fused per-object program over its slice of
     the stacked packs; the scene (shared union geometry) is replicated.
     No communication at all — objects are independent; jit gathers the
     per-object outputs. Bit-identical to _match_all on the same inputs
-    (the per-object computation does not depend on batch composition)."""
+    (the per-object computation does not depend on batch composition).
+    `presampled` (instance mode): (bidx, inv1, inv2, bvalid) [O, ...]
+    arrays, sharded over the object axis like the packs."""
     from jax.sharding import PartitionSpec as P
 
     from .parallel.sharding import _globalize
 
     n_dev = mesh.devices.size
     pad = (-n_obj) % n_dev
-    if pad:
-        stacked = jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]
-            ),
-            stacked,
+
+    def pad_rep(a):
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])]
         )
+
+    if pad:
+        stacked = jax.tree.map(pad_rep, stacked)
         probs = jnp.concatenate(
             [probs, jnp.zeros((pad, probs.shape[1]), probs.dtype)]
         )
-        keys = jnp.concatenate(
-            [keys, jnp.broadcast_to(keys[-1:], (pad,) + keys.shape[1:])]
-        )
+        keys = pad_rep(keys)
+        if presampled is not None:
+            # replicate the last object's bases but mark them INVALID:
+            # zero-prob padding cannot re-sample, so the padding rows
+            # must fail like the class path's zero-mass bases
+            bi, i1, i2, bv = presampled
+            presampled = (
+                pad_rep(bi), pad_rep(i1), pad_rep(i2),
+                jnp.concatenate(
+                    [bv, jnp.zeros((pad,) + bv.shape[1:], bv.dtype)]
+                ),
+            )
     ax = mesh.axis_names[0]
     op = P(ax)
-    fn = jax.jit(jax.shard_map(
-        lambda st, sc, pr, ks: _match_all(
-            st, sc, pr, ks, cfg, d2_implied=d2_implied
-        ),
-        mesh=mesh,
-        in_specs=(op, P(), op, op),
-        out_specs=(op, op, op),
-        check_vma=False,
-    ))
-    st, sc, pr, ks = _globalize((stacked, scene, probs, keys), mesh)
-    best, poses, nhyp = fn(st, sc, pr, ks)
+    if presampled is None:
+        fn = jax.jit(jax.shard_map(
+            lambda st, sc, pr, ks: _match_all(
+                st, sc, pr, ks, cfg, d2_implied=d2_implied
+            ),
+            mesh=mesh,
+            in_specs=(op, P(), op, op),
+            out_specs=(op, op, op),
+            check_vma=False,
+        ))
+        st, sc, pr, ks = _globalize((stacked, scene, probs, keys), mesh)
+        best, poses, nhyp = fn(st, sc, pr, ks)
+    else:
+        fn = jax.jit(jax.shard_map(
+            lambda st, sc, pr, ks, bi, i1, i2, bv: _match_all_presampled(
+                st, sc, pr, ks, bi, i1, i2, bv, cfg, d2_implied=d2_implied
+            ),
+            mesh=mesh,
+            in_specs=(op, P(), op, op, op, op, op, op),
+            out_specs=(op, op, op),
+            check_vma=False,
+        ))
+        st, sc, pr, ks = _globalize((stacked, scene, probs, keys), mesh)
+        from .parallel.sharding import _globalize_hyp
+
+        bi, i1, i2, bv = _globalize_hyp(presampled, mesh, ax)
+        best, poses, nhyp = fn(st, sc, pr, ks, bi, i1, i2, bv)
     return best[:n_obj], poses[:n_obj], nhyp[:n_obj]
 
 
@@ -218,32 +290,64 @@ def match_all_objects(
     fail (zero mass -> invalid base, the reference's FAILED-SAMPLING
     path) and whose results are dropped.
 
-    Class sampling only: an edge-mapped scene draws a WARNING because the
-    reference would run the instance path there (flood-fill segments +
-    sequential dispersion decay, stocs.cpp:559-751) — that decay makes
-    sampling sequential per object and cannot live inside the fused
-    lax.map program. For reference semantics on such scenes run
-    StocsEstimator per object (cli.cmd_stocs_multi does this)."""
-    if scene.has_edge:
-        from .utils.log import warn
-
-        warn(
-            "match_all_objects on an edge-mapped scene uses CLASS sampling; "
-            "the reference's instance path (flood fills + dispersion decay) "
-            "is sequential and not available in the fused multi-object "
-            "program — run StocsEstimator per object for those semantics",
-        )
+    An edge-mapped scene runs the reference's INSTANCE path per object
+    (flood-fill segments + sequential dispersion decay,
+    stocs_match_one_object.cpp:89-93, stocs.cpp:559-751): each object's
+    sequential sampling chain runs outside the program against its OWN
+    prior — exactly the reference's one-process-per-object isolation —
+    and phases 2-4 of all objects run fused (or mesh-sharded) through
+    _match_all_presampled, scored with each object's decayed prior.
+    Object results are independent of which other objects share the
+    batch (tests/test_multi.py pins this)."""
     stacked = stack_models(align_models(models))
     key = jax.random.PRNGKey(seed)
-    keys = jnp.stack(
-        [jax.random.fold_in(key, o) for o in range(len(models))]
-    )
+    okeys = [jax.random.fold_in(key, o) for o in range(len(models))]
     probs = jnp.asarray(probs)
     d2 = congruent.d2_test_implied(stacked.pos, cfg)
     n_obj = len(models)
+    presampled = None
+    if scene.has_edge:
+        from .estimator import _phase_sample_instance
+
+        ks_kc = [jax.random.split(k) for k in okeys]
+        insts = []
+        for o in range(n_obj):
+            # sequential per-object chain on the object's own prior; the
+            # ORIGINAL (un-resized) table — PPF existence lookups are
+            # exact, so resize-invariant
+            insts.append(_phase_sample_instance(
+                ks_kc[o][0], models[o].table, scene, probs[o], cfg,
+                cfg.number_of_bases,
+            ))
+        presampled = tuple(
+            jnp.stack([getattr(i, f) for i in insts])
+            for f in ("indices", "invariant1", "invariant2", "valid")
+        )
+        # scoring reads each object's sampling-time decayed prior
+        probs = jnp.stack([i.class_prob for i in insts])
+        keys = jnp.stack([kc for _ks, kc in ks_kc])
+        n_unconv = int(sum(
+            int(jnp.sum(~i.fill_converged)) for i in insts
+        ))
+        if n_unconv:
+            from .utils.log import warn
+
+            warn(
+                f"{n_unconv} flood fills across the multi-object batch "
+                f"did not reach their BFS fixpoint in flood_fill_sweeps="
+                f"{cfg.flood_fill_sweeps} sweeps — segments under-fill",
+                n_unconverged=n_unconv, sweeps=cfg.flood_fill_sweeps,
+            )
+    else:
+        keys = jnp.stack(okeys)
     if mesh is not None and mesh.devices.size > 1:
         best, poses, nhyp = _match_all_sharded(
-            mesh, stacked, scene, probs, keys, cfg, d2, n_obj
+            mesh, stacked, scene, probs, keys, cfg, d2, n_obj,
+            presampled=presampled,
+        )
+    elif presampled is not None:
+        best, poses, nhyp = _match_all_presampled(
+            stacked, scene, probs, keys, *presampled, cfg, d2_implied=d2,
         )
     else:
         best, poses, nhyp = _match_all(

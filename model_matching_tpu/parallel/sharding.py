@@ -67,18 +67,20 @@ def make_mesh(devices=None, axis: str = HYP_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def _globalize_hyp(tree, mesh: Mesh):
+def _globalize_hyp(tree, mesh: Mesh, axis: str | None = None):
     """Promote identical process-local arrays to GLOBAL arrays sharded
-    along the hypothesis axis. Multi-process instance sweeps sample the
-    chunk outside the mesh (every process holds the full, broadcast-
-    agreed chunk — a few KB of indices/invariants); the jitted shard
-    program's P(HYP_AXIS) in_specs then need global arrays, with each
-    process contributing the slices its devices own."""
+    along the leading mesh axis (default: the hypothesis axis).
+    Multi-process instance sweeps sample the chunk outside the mesh
+    (every process holds the full, broadcast-agreed chunk — a few KB of
+    indices/invariants); the jitted shard program's P(axis) in_specs
+    then need global arrays, with each process contributing the slices
+    its devices own. The multi-object program reuses this for its
+    presampled per-object base arrays (object axis)."""
     if jax.process_count() == 1:
         return tree
     from jax.sharding import NamedSharding
 
-    sh = NamedSharding(mesh, P(HYP_AXIS))
+    sh = NamedSharding(mesh, P(axis or mesh.axis_names[0]))
 
     def leaf(x):
         x = np.asarray(x)

