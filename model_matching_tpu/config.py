@@ -142,11 +142,14 @@ class MatchConfig:
     # scorer's hot transient is [chunk, M, cell_cap, 8] f32 (payload fast
     # path; ops/gridhash.py), so an unchunked sweep-scale batch would
     # materialize ~100 GB and OOM the chip. 0 (default) = derive the
-    # largest chunk whose transient stays under ~1.5 GB from the concrete
-    # model size and grid cell cap (scoring.exact_score_chunk) — on the
-    # YCB fixture (M=480, cell_cap=24) that reproduces the previously
-    # hand-tuned 4096; an unusual model gets a bound fitted to ITS
-    # memory shape instead of a fixture-tuned constant.
+    # largest 256-multiple chunk whose transient stays under a
+    # 640Mi-element (~2.5 GB f32) budget from the concrete model size
+    # and grid cell cap (scoring.exact_score_chunk) — on the bench
+    # scene's padded shapes (M=512, cell_cap=40) that reproduces the
+    # previously hand-tuned 4096; an unusual model gets a bound fitted
+    # to ITS memory shape instead of a fixture-tuned constant (a
+    # tighter 1.5 GB budget derived 2560 there and measured ~30% slower
+    # from the extra dispatches — see scoring.exact_score_chunk).
     score_exact_chunk: int = 0
     # Sweep pooling width: run_sweep / run_sweep_sharded keep the top-k
     # scored poses of every chunk and cluster the pooled winners; the
@@ -178,6 +181,18 @@ class MatchConfig:
     # round-2 host-partitioned executor, whose count-pass host sync
     # cancelled the same gains (cut in round 3, docs/RESULTS.md).
     congruent_sorted_groups: int = 8
+    # Smallest tier cap whose lanes are SORTED by position-cell id so
+    # the Pallas gate can skip (P tile, Q tile) pairs with disjoint cell
+    # ranges (banded execution, congruent.py). Only pays when BOTH sides
+    # of a base are huge: the packed/dove top tier (~20k x 20k lanes,
+    # ~500 distinct cells/side) runs 23% faster; tiers below it lose to
+    # the per-base sort+permute cost (ycb 278 -> 300 ms/chunk at 16384),
+    # hence the default bands only caps above the ycb top tier. Sorting
+    # re-labels lane positions, so the random subsample of an
+    # over-populated tier differs (same candidate set and totals; kept
+    # count within ~1.5% on the packed fixture — docs/RESULTS.md round
+    # 5); totals/precision are unaffected.
+    congruent_band_min_cap: int = 24576
     # Fuse the congruent gate matrix + subsample selection into a Pallas
     # VMEM-tiled kernel (ops/pallas_congruent.py) instead of the XLA
     # [P, Q] intermediates. Bit-identical to the XLA path on the fixture

@@ -70,7 +70,12 @@ def _rot_from_z_to(n):
     """Eigen Quaternion::setFromTwoVectors((0,0,1), n) as a rotation
     matrix (used by the cone query, normalset.hpp:172-186). n: [..., 3]
     unit directions. The antiparallel case (n ~ -z) is a pi rotation
-    about x: diag(1, -1, -1)."""
+    about x: diag(1, -1, -1). DOCUMENTED DIVERGENCE (ADVICE r4): Eigen
+    picks its antiparallel fallback axis via the largest-component
+    orthogonal vector, so for dir_q within ~1e-6 of exactly -z the
+    cone's sampled azimuths (hence the rendered cells) can differ from
+    the reference's — a measure-zero input set for real normals; all
+    other directions use the identical half-angle construction."""
     c = n[..., 2]
     s = jnp.sqrt(jnp.maximum((1.0 + c) * 2.0, 1e-24))
     w = s / 2.0
@@ -278,6 +283,24 @@ class CongruentSets(NamedTuple):
     quad_valid: jax.Array   # [B, K] bool
     total_found: jax.Array  # [B] int32 (pre-cap count, for truncation stats)
     pair_counts: jax.Array  # [B, 2] int32 (|P_pairs|, |Q_pairs|)
+
+
+def selection_shortfall(sets: "CongruentSets", cfg: MatchConfig):
+    """Device-side count of bases whose kept congruent sets came in
+    under maximum_congruent_sets even though the gate matched at least
+    oversample * k candidates — the signature of the dense tiers'
+    exact-cone re-check under-filling when a saturated base's gate
+    precision drops below 1/congruent_cone_oversample (ADVICE r4), or
+    of stripe-selection starvation. Not an exact lost-set count (the
+    gate total includes false positives the reference would never have
+    kept); a nonzero value means kept pools MAY be thinner than the
+    reference's cap — raise congruent_cone_oversample to recover."""
+    k_cap = cfg.maximum_congruent_sets
+    k_sel = k_cap * max(1, cfg.congruent_cone_oversample)
+    kept = jnp.sum(sets.quad_valid.astype(jnp.int32), axis=1)
+    return jnp.sum(
+        ((sets.total_found >= k_sel) & (kept < k_cap)).astype(jnp.int32)
+    )
 
 
 def quads_of(table: PPFTable, pairs: jax.Array) -> jax.Array:
@@ -544,12 +567,44 @@ def extract_congruent_sets(
             ql = q_rows.shape[0]
             chunk = ql // nb
 
-            e1_unit, e1_world, n1 = seg_from_rows(p_rows, inv1)
-            cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
             # pack the 3 cell coordinates into one int so equality is a
             # single [P, Q] compare (eg_size <= 1024 always: unit cube /
             # power-of-two cell of ~eps)
             pack = lambda c: (c[:, 0] * 1024 + c[:, 1]) * 1024 + c[:, 2]
+
+            # Dense tiers SORT each side's lanes by packed cell id
+            # (invalid lanes to the end via the int32-max sentinel;
+            # stable, so equal-cell lanes keep gather order). Matches
+            # require cell equality, so in sorted order they live in a
+            # monotone staircase of (P tile, Q tile) pairs — the Pallas
+            # call skips tiles whose cell ranges don't overlap (its
+            # `live` mask below), turning the quadratic gate into work
+            # ~ the same-cell join size. Selection keys/stripes read
+            # POSITIONS, so sorted positions change which random
+            # subsample wins (same candidate set — the reference's own
+            # subsample is rand()-ordered); the XLA fallback sorts
+            # identically, keeping kernel-vs-XLA bit-equality. Lane
+            # counts stay a valid compacted prefix (valid lanes sort
+            # first).
+            banded = cap >= max(cfg.congruent_band_min_cap, _PALLAS_MIN_CAP)
+            if banded:
+                def cell_sort(rows, ok, inv, lanes_n):
+                    e_unit, _e, _n = seg_from_rows(rows, inv)
+                    c = pack(jnp.floor(e_unit * eg_size).astype(jnp.int32))
+                    key = jnp.where(ok, c, jnp.int32(0x7FFFFFFF))
+                    perm = jnp.argsort(key, stable=True)
+                    return (rows[perm], ok[perm], key[perm], perm,
+                            jnp.sum(ok.astype(jnp.int32)))
+
+                (p_rows, p_ok, kp_s, permP, p_lanes) = cell_sort(
+                    p_rows, p_ok, inv1, p_lanes
+                )
+                (q_rows, q_ok, kq_s, permQ, q_lanes) = cell_sort(
+                    q_rows, q_ok, inv2, q_lanes
+                )
+
+            e1_unit, e1_world, n1 = seg_from_rows(p_rows, inv1)
+            cell1 = jnp.floor(e1_unit * eg_size).astype(jnp.int32)
             cell1p = pack(cell1)
             sq1 = jnp.sum(e1_world * e1_world, axis=-1)
 
@@ -679,6 +734,23 @@ def extract_congruent_sets(
                     jnp.arange(ql, dtype=jnp.uint32) ^ salt
                     ^ jnp.uint32(0x9E3779B9)
                 )
+                # banded liveness: per-tile cell ranges of the SORTED
+                # keys (first/last lane of each tile); a (P, Q) tile
+                # pair is dead when the ranges don't overlap — a
+                # superset test, so every true match survives. Fully
+                # invalid tiles carry the int32-max sentinel and are
+                # dead against everything (the dynamic grid prunes
+                # them too).
+                if banded:
+                    ptile = min(pl, 256)
+                    cloP, chiP = kp_s[::ptile], kp_s[ptile - 1::ptile]
+                    cloQ, chiQ = kq_s[::chunk], kq_s[chunk - 1::chunk]
+                    live = (
+                        (cloP[:, None] <= chiQ[None, :])
+                        & (cloQ[None, :] <= chiP[:, None])
+                    ).astype(jnp.int32)
+                else:
+                    live = None
                 bits = jax.lax.bitcast_convert_type
                 rb, row_counts = pc.dense_gate(
                     pf, qf,
@@ -686,6 +758,7 @@ def extract_congruent_sets(
                     alpha, cfg.congruent_cos_tolerance,
                     jnp.float32(dist_thresh),
                     jnp.int32(rand_mask), jnp.int32(marker),
+                    live=live,
                     q_tile=chunk, p_tile=min(pl, 256),
                     # the kernel targets TPU Mosaic (pltpu memory spaces);
                     # every other backend — CPU, GPU, anything else — must
@@ -838,8 +911,15 @@ def extract_congruent_sets(
                 quad_valid = top > 0
             else:
                 quad_valid = gate_ok
+            if banded:
+                # winners carry SORTED lane positions (keys/stripes);
+                # the CSR decode needs the original gather positions
+                pi_d, qi_d = permP[pi], permQ[qi]
+            else:
+                pi_d, qi_d = pi, qi
             pairs = jnp.stack(
-                [decode(pi, off1, cnt1), decode(qi, off2, cnt2)], axis=-1
+                [decode(pi_d, off1, cnt1), decode(qi_d, off2, cnt2)],
+                axis=-1,
             ).astype(jnp.int32)
             return pairs, quad_valid, total
 

@@ -331,7 +331,8 @@ def _sweep_cfg_fingerprint(cfg: MatchConfig) -> str:
 def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
                            use_instance, pool_s, pool_t, pool_w,
                            chunk_valid, chunk_slot_valid, unconverged,
-                           elapsed, prob_decayed, class_prob, devices=0):
+                           elapsed, prob_decayed, class_prob, devices=0,
+                           pair_max=0):
     """Atomic npz checkpoint of a sweep in progress. Chunk PRNG keys are
     fold_in(key0, ci) — stateless in the loop — so the only cross-chunk
     state is the pooled winners and (instance mode) the decayed prior;
@@ -344,6 +345,7 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
         pool_s=pool_s, pool_t=pool_t, pool_w=pool_w,
         chunk_valid=chunk_valid, chunk_slot_valid=chunk_slot_valid,
         class_prob=(class_prob if prob_decayed else None),
+        pair_max=pair_max,
     ))
     arrays = dict(
         version=np.int64(_SWEEP_CKPT_VERSION),
@@ -362,6 +364,10 @@ def _save_sweep_checkpoint(path, *, next_chunk, chunk, seed, kp, cfg_fp,
         elapsed=np.float64(elapsed),
         prob_decayed=np.bool_(prob_decayed),
         devices=np.int64(devices),
+        # running PPF pair max: without it a truncated bin in a
+        # pre-checkpoint chunk would be forgotten on resume and the
+        # pair-cap warning would silently under-fire (ADVICE r4)
+        pair_max=np.int64(dev["pair_max"]),
     )
     if prob_decayed:
         arrays["class_prob"] = dev["class_prob"]
@@ -421,6 +427,7 @@ def _load_sweep_checkpoint(path, *, chunk, seed, kp, cfg_fp, use_instance,
                 z["chunk_slot_valid"] if ver >= 2 else z["chunk_valid"]
             ),
             unconverged=int(z["unconverged"]),
+            pair_max=(int(z["pair_max"]) if "pair_max" in z.files else 0),
             elapsed=float(z["elapsed"]),
             prob_decayed=bool(z["prob_decayed"]),
             class_prob=(
@@ -627,6 +634,7 @@ class StocsEstimator:
             n_hyp=jnp.sum(poses.valid.astype(jnp.int32)),
             n_slot_valid=n_slot_valid,
             pair_max=jnp.max(sets.pair_counts),
+            shortfall=congruent.selection_shortfall(sets, cfg),
             total_sets=jnp.sum(sets.total_found),
             best_t=poses.transform[safe_i],
             best_w=poses.world_transform[safe_i],
@@ -662,6 +670,18 @@ class StocsEstimator:
                 f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
                 f"raise the cap for full recall",
                 pair_max=pair_max, cap=cfg.max_pairs_per_bin,
+            )
+        if int(host["shortfall"]):
+            from .utils.log import warn
+
+            warn(
+                f"{int(host['shortfall'])} saturated bases kept fewer than "
+                f"maximum_congruent_sets={cfg.maximum_congruent_sets} sets "
+                f"after the exact-cone re-check — the kept pool may be "
+                f"thinner than the reference's cap; raise "
+                f"congruent_cone_oversample for full selection",
+                n_short=int(host["shortfall"]),
+                oversample=cfg.congruent_cone_oversample,
             )
         if coarse_to_fine and cap and slots > cap and n_slot_valid > cap:
             from .utils.log import warn
@@ -737,6 +757,7 @@ class StocsEstimator:
                 "hypotheses_per_sec": hyps_per_sec,
                 "congruent_total": int(host["total_sets"]),
                 "pair_count_max": pair_max,
+                "selection_shortfall": int(host["shortfall"]),
                 # static marker for cluster_poses: only the coarse-to-fine
                 # ladder leaves -1 (unscored) entries that need a
                 # field-score backfill before clustering
@@ -795,9 +816,11 @@ class StocsEstimator:
 
         pool_t, pool_w, pool_s = [], [], []
         chunk_valid, chunk_slot_valid, pair_maxes = [], [], []
+        shortfalls = []
         unconverged = []  # device-side per chunk; summed after the loop
         start_chunk = 0
         resumed_unconverged = 0
+        resumed_pair_max = 0
         t_prev = 0.0
         cfg_fp = _sweep_cfg_fingerprint(cfg) if checkpoint_path else ""
         if checkpoint_path and os.path.exists(checkpoint_path):
@@ -822,6 +845,7 @@ class StocsEstimator:
                 chunk_valid.extend(state["chunk_valid"])
                 chunk_slot_valid.extend(state["chunk_slot_valid"])
             resumed_unconverged = state["unconverged"]
+            resumed_pair_max = state["pair_max"]
             t_prev = state["elapsed"]
             if state["prob_decayed"]:
                 self.class_prob = state["class_prob"]
@@ -857,6 +881,12 @@ class StocsEstimator:
                 elapsed=t_prev + (time.perf_counter() - t_start),
                 prob_decayed=self.class_prob is not self.scene.class_prob,
                 class_prob=self.class_prob,
+                pair_max=(
+                    jnp.maximum(
+                        jnp.stack(pair_maxes).max(),
+                        jnp.int32(resumed_pair_max),
+                    ) if pair_maxes else jnp.int32(resumed_pair_max)
+                ),
             )
 
         t_start = time.perf_counter()
@@ -919,6 +949,7 @@ class StocsEstimator:
             chunk_valid.append(jnp.sum(poses.valid.astype(jnp.int32)))
             chunk_slot_valid.append(n_slot_valid)
             pair_maxes.append(jnp.max(sets.pair_counts))
+            shortfalls.append(congruent.selection_shortfall(sets, cfg))
             done_this_call = ci + 1 - start_chunk
             if (stop_after_chunks is not None
                     and done_this_call >= stop_after_chunks
@@ -938,7 +969,13 @@ class StocsEstimator:
             slvs=jnp.stack(
                 [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
             ),
-            pmx=(jnp.stack(pair_maxes).max() if pair_maxes else None),
+            pmx=(
+                jnp.maximum(
+                    jnp.stack(pair_maxes).max(), jnp.int32(resumed_pair_max)
+                ) if pair_maxes
+                else (jnp.int32(resumed_pair_max) or None)
+            ),
+            short=(jnp.stack(shortfalls).sum() if shortfalls else None),
         ))
         n_unconverged = resumed_unconverged + (
             int(th["unconv"]) if th["unconv"] is not None else 0
@@ -976,6 +1013,17 @@ class StocsEstimator:
                 f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
                 f"raise the cap for full recall",
                 pair_max=int(th["pmx"]), cap=cfg.max_pairs_per_bin,
+            )
+        if th["short"] is not None and int(th["short"]):
+            from .utils.log import warn
+
+            warn(
+                f"{int(th['short'])} saturated bases kept fewer than "
+                f"maximum_congruent_sets={cfg.maximum_congruent_sets} sets "
+                f"after the exact-cone re-check — raise "
+                f"congruent_cone_oversample for full selection",
+                n_short=int(th["short"]),
+                oversample=cfg.congruent_cone_oversample,
             )
         if completed and checkpoint_path and os.path.exists(checkpoint_path):
             os.remove(checkpoint_path)

@@ -37,77 +37,81 @@ from jax.experimental.pallas import tpu as pltpu
 SUB = 16  # candidates kept per P row (must match congruent.py's `sub`)
 
 
-def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
+def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref, live_ref,
                  p_ref, q_ref, rp_ref, rq_ref,
                  out_ref, cnt_ref, *, skip_dist: bool):
+    i = pl.program_id(0)
     j = pl.program_id(1)
     tq = q_ref.shape[1]
 
-    e1 = p_ref[0:3, :]                 # [3, TP]
-    n1 = p_ref[3:6, :]
-    sq1 = p_ref[6:7, :]                # [1, TP]
-    c1lo = p_ref[7:8, :]
-    c1hi = p_ref[8:9, :]
-    e2 = q_ref[0:3, :]                 # [3, TQ]
-    n2 = q_ref[3:6, :]
-    sq2 = q_ref[6:7, :]
-    c2lo = q_ref[7:8, :]
-    c2hi = q_ref[8:9, :]
-
-    cos = jax.lax.dot_general(
-        n1, n2, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    alpha = alpha_ref[0, 0]
-    tol = alpha_ref[0, 1]
-    match = (
-        (c1lo.T == c2lo)
-        & (c1hi.T == c2hi)
-        & (jnp.abs(cos - alpha) <= tol)
-    )
-    if not skip_dist:
-        # skip_dist: cell equality statically implies the distance test
-        # (congruent.d2_test_implied) — the d2 matmul + compare is elided
-        d2 = (
-            sq1.T + sq2
-            - 2.0 * jax.lax.dot_general(
-                e1, e2, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )                               # [TP, TQ]
-        match &= d2 <= thr_ref[0, 0]
-
-    cols = (
-        jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
-        + j * tq
-    )
-    rp = rp_ref[0:1, :]                 # [1, TP]
-    rq = rq_ref[0:1, :]                 # [1, TQ]
-    v = (rp.T ^ rq) & mask_ref[0, 0]
-    v = (v | marker_ref[0, 0] | cols)
-    v = jnp.where(match, v, 0)
-    # stripe max without reshaping across the lane dim (Mosaic cannot
-    # shape-cast [TP, TQ] -> [TP, SUB, TQ/SUB]): 16 static lane slices,
-    # each reduced over its contiguous column range — same stripe
-    # membership as the XLA path's reshape(tp, SUB, tq // SUB).max(2)
-    w = tq // SUB
-    stripe = jnp.concatenate(
-        [
-            jnp.max(v[:, s * w:(s + 1) * w], axis=1, keepdims=True)
-            for s in range(SUB)
-        ],
-        axis=1,
-    )                                   # [TP, SUB]
-
     @pl.when(j == 0)
     def _():
-        out_ref[:] = stripe
-        cnt_ref[:] = jnp.sum(
-            match.astype(jnp.int32), axis=1, keepdims=True
-        )
+        out_ref[:] = jnp.zeros_like(out_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    @pl.when(j != 0)
+    # BANDED skip: with both sides sorted by position-cell id
+    # (congruent.py dense tiers), matches are confined to (i, j) tiles
+    # whose cell RANGES overlap — the caller's `live` mask. Dead tiles
+    # skip the whole gate (their contribution is exactly zero); on the
+    # packed fixture's ~20k-lane bases only ~1/5 of tiles are live.
+    @pl.when(live_ref[i, j] != 0)
     def _():
+        e1 = p_ref[0:3, :]                 # [3, TP]
+        n1 = p_ref[3:6, :]
+        sq1 = p_ref[6:7, :]                # [1, TP]
+        c1lo = p_ref[7:8, :]
+        c1hi = p_ref[8:9, :]
+        e2 = q_ref[0:3, :]                 # [3, TQ]
+        n2 = q_ref[3:6, :]
+        sq2 = q_ref[6:7, :]
+        c2lo = q_ref[7:8, :]
+        c2hi = q_ref[8:9, :]
+
+        cos = jax.lax.dot_general(
+            n1, n2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        alpha = alpha_ref[0, 0]
+        tol = alpha_ref[0, 1]
+        match = (
+            (c1lo.T == c2lo)
+            & (c1hi.T == c2hi)
+            & (jnp.abs(cos - alpha) <= tol)
+        )
+        if not skip_dist:
+            # skip_dist: cell equality statically implies the distance
+            # test (congruent.d2_test_implied) — the d2 matmul is elided
+            d2 = (
+                sq1.T + sq2
+                - 2.0 * jax.lax.dot_general(
+                    e1, e2, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )                               # [TP, TQ]
+            match &= d2 <= thr_ref[0, 0]
+
+        cols = (
+            jax.lax.broadcasted_iota(jnp.int32, match.shape, 1)
+            + j * tq
+        )
+        rp = rp_ref[0:1, :]                 # [1, TP]
+        rq = rq_ref[0:1, :]                 # [1, TQ]
+        v = (rp.T ^ rq) & mask_ref[0, 0]
+        v = (v | marker_ref[0, 0] | cols)
+        v = jnp.where(match, v, 0)
+        # stripe max without reshaping across the lane dim (Mosaic cannot
+        # shape-cast [TP, TQ] -> [TP, SUB, TQ/SUB]): 16 static lane
+        # slices, each reduced over its contiguous column range — same
+        # stripe membership as the XLA path's
+        # reshape(tp, SUB, tq // SUB).max(2)
+        w = tq // SUB
+        stripe = jnp.concatenate(
+            [
+                jnp.max(v[:, s * w:(s + 1) * w], axis=1, keepdims=True)
+                for s in range(SUB)
+            ],
+            axis=1,
+        )                                   # [TP, SUB]
         out_ref[:] = jnp.maximum(out_ref[:], stripe)
         cnt_ref[:] = cnt_ref[:] + jnp.sum(
             match.astype(jnp.int32), axis=1, keepdims=True
@@ -121,8 +125,14 @@ def _gate_kernel(alpha_ref, thr_ref, mask_ref, marker_ref,
 def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
                rand_mask, marker, q_tile: int = 4096, p_tile: int = 256,
                interpret: bool = False, skip_dist: bool = False,
-               p_count=None, q_count=None):
+               p_count=None, q_count=None, live=None):
     """Row-stripe-max selection over the full [P, Q] gate matrix.
+
+    live (optional [P/p_tile, Q/q_tile] int32): per-tile liveness for
+    BANDED execution — with both sides sorted by position-cell id the
+    caller marks a tile live iff the two tiles' cell ranges overlap;
+    dead tiles (whose contribution is exactly zero) skip the gate
+    entirely. None = all tiles live.
 
     p_feat/q_feat: [16, P] / [16, Q] f32 (see module docstring layout);
     rp/rq: [P] / [Q] int32 mixed random streams; alpha/tol/dist_thresh
@@ -149,6 +159,9 @@ def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
     thr = jnp.array([[dist_thresh]], jnp.float32)
     maskc = jnp.array([[rand_mask]], jnp.int32)
     markc = jnp.array([[marker]], jnp.int32)
+    if live is None:
+        live = jnp.ones((p // p_tile, q // q_tile), jnp.int32)
+    assert live.shape == (p // p_tile, q // q_tile), live.shape
 
     if p_count is None:
         pt = p // p_tile
@@ -176,6 +189,8 @@ def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec(live.shape, lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((16, p_tile), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, q_tile), lambda i, j: (0, j),
@@ -196,7 +211,7 @@ def dense_gate(p_feat, q_feat, rp, rq, alpha, tol, dist_thresh,
             jax.ShapeDtypeStruct((p, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(scal, thr, maskc, markc, p_feat, q_feat,
+    )(scal, thr, maskc, markc, live, p_feat, q_feat,
       rp[None, :], rq[None, :])
     if p_count is not None:
         # zero the rows of P tiles the dynamic grid never executed

@@ -125,7 +125,8 @@ def _phases_234(k_cong, model, scene, class_prob, bases,
     (estimator._phase_fit/_phase_score).
 
     Returns (scores [H], transforms [H,4,4], world_transforms [H,4,4],
-    valid [H], n_slot_valid, pair_max) for this device's shard."""
+    valid [H], n_slot_valid, pair_max, shortfall) for this device's
+    shard."""
     from ..estimator import _phase_fit
 
     sets = congruent.extract_congruent_sets(
@@ -148,6 +149,7 @@ def _phases_234(k_cong, model, scene, class_prob, bases,
         if (cap and slots > cap) else None
     )
     pair_max = jnp.max(sets.pair_counts)
+    shortfall = congruent.selection_shortfall(sets, cfg)
 
     mc = jnp.sum(model.valid.astype(jnp.float32))
     # baked-prob fast path only when scoring under the pristine prior the
@@ -182,7 +184,7 @@ def _phases_234(k_cong, model, scene, class_prob, bases,
             ),
         )
     return (scores, poses.transform, poses.world_transform, poses.valid,
-            n_slot_valid, pair_max)
+            n_slot_valid, pair_max, shortfall)
 
 
 def _local_hypotheses(key_local, model, scene, class_prob, bits,
@@ -217,22 +219,35 @@ def matching_step_sharded(
     cfg: MatchConfig,
     key: jax.Array,
     coarse_to_fine: bool = False,
+    allow_class_sampling: bool = False,
 ):
     """One full matching step over the mesh. Returns (best_score,
     best_world_transform [4,4], num_valid_hypotheses) as replicated values.
 
-    Class sampling only — an edge-mapped scene draws a WARNING (the
+    Class sampling only — an edge-mapped scene is REFUSED (the
     reference's instance path is sequential per base and cannot sample
     inside the shard body; run_sweep_sharded covers instance-mode scenes
-    by sampling outside the mesh)."""
+    by sampling outside the mesh) unless the caller explicitly opts into
+    class sampling with allow_class_sampling=True — a silent
+    warn-and-proceed default would hand library callers
+    reference-divergent instance semantics (ADVICE r4)."""
     if scene.has_edge:
+        if not allow_class_sampling:
+            raise ValueError(
+                "matching_step_sharded cannot run the instance path on an "
+                "edge-mapped scene (the sequential flood-fill sampler "
+                "cannot live inside the shard body); use "
+                "run_sweep_sharded (which samples outside the mesh) or "
+                "the single-chip StocsEstimator, or pass "
+                "allow_class_sampling=True to deliberately run CLASS "
+                "sampling here"
+            )
         from ..utils.log import warn
 
         warn(
-            "matching_step_sharded on an edge-mapped scene uses CLASS "
-            "sampling; for the reference's instance semantics use "
-            "run_sweep_sharded (sequential sampler outside the mesh) or "
-            "the single-chip StocsEstimator",
+            "matching_step_sharded on an edge-mapped scene is running "
+            "CLASS sampling (allow_class_sampling=True); the reference's "
+            "instance semantics live in run_sweep_sharded",
         )
     n_dev = mesh.devices.size
     if cfg.number_of_bases % n_dev:
@@ -247,7 +262,7 @@ def matching_step_sharded(
         # decorrelate the per-device RNG streams
         dev = jax.lax.axis_index(HYP_AXIS)
         key_local = jax.random.fold_in(key, dev)
-        scores, transforms, world, valid, _nsv, _pm = _local_hypotheses(
+        scores, transforms, world, valid, _nsv, _pm, _sh = _local_hypotheses(
             key_local, model, scene, class_prob, None, cfg, b_local,
             coarse_to_fine, d2_implied=d2,
         )
@@ -281,7 +296,7 @@ def _exists_bits(table, pos, normal, tr, rot):
 
 
 def _pool_and_reduce(scores, transforms, world, valid, n_slot_valid,
-                     pair_max, keep_local):
+                     pair_max, shortfall, keep_local):
     """Shared collective tail of the sweep-chunk programs: local top-k ->
     all_gathered pools + psum'd valid count + pmax'd per-device counters.
     The only collectives are the small pool all_gathers and the scalar
@@ -296,7 +311,8 @@ def _pool_and_reduce(scores, transforms, world, valid, n_slot_valid,
     # warning compares a device's congruent-valid count against the cap
     slot_max = jax.lax.pmax(n_slot_valid, HYP_AXIS)
     pair_mx = jax.lax.pmax(pair_max, HYP_AXIS)
-    return pool_s, pool_t, pool_w, n_valid, slot_max, pair_mx
+    short = jax.lax.psum(shortfall, HYP_AXIS)
+    return pool_s, pool_t, pool_w, n_valid, slot_max, pair_mx, short
 
 
 def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
@@ -320,7 +336,7 @@ def _sweep_chunk_program(mesh: Mesh, cfg: MatchConfig, b_local: int,
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     ))
 
@@ -352,7 +368,7 @@ def _sweep_chunk_program_presampled(mesh: Mesh, cfg: MatchConfig,
         body,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), hp, hp, hp, hp),
-        out_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P(), P()),
         check_vma=False,
     ))
 
@@ -455,9 +471,11 @@ def run_sweep_sharded(
 
     pool_s, pool_t, pool_w = [], [], []
     chunk_valid, chunk_slot_valid, pair_maxes = [], [], []
+    shortfalls = []
     unconverged = []
     start_chunk = 0
     resumed_unconverged = 0
+    resumed_pair_max = 0
     cfg_fp = _sweep_cfg_fingerprint(cfg_chunk) if checkpoint_path else ""
     if checkpoint_path and os.path.exists(checkpoint_path):
         state = _load_sweep_checkpoint(
@@ -478,6 +496,7 @@ def run_sweep_sharded(
             chunk_valid.extend(state["chunk_valid"])
             chunk_slot_valid.extend(state["chunk_slot_valid"])
         resumed_unconverged = state["unconverged"]
+        resumed_pair_max = state["pair_max"]
         t_prev = state["elapsed"]
         if state["prob_decayed"]:
             class_prob = state["class_prob"]
@@ -511,6 +530,11 @@ def run_sweep_sharded(
             elapsed=t_prev + (time.perf_counter() - t_start),
             prob_decayed=class_prob is not scene_l.class_prob,
             class_prob=class_prob,
+            pair_max=(
+                jnp.maximum(
+                    jnp.stack(pair_maxes).max(), jnp.int32(resumed_pair_max)
+                ) if pair_maxes else jnp.int32(resumed_pair_max)
+            ),
         )
 
     stopped_at = None
@@ -552,12 +576,12 @@ def run_sweep_sharded(
             else:
                 gargs, gcp, gk = bases_t, class_prob, k_cong
             unconverged.append(jnp.sum(~fill_conv))
-            s, t, w, nv, slot_max, pair_mx = step(
+            s, t, w, nv, slot_max, pair_mx, short = step(
                 model, scene, gcp, gk, *gargs,
             )
         else:
             gkey = _globalize(key, mesh)
-            s, t, w, nv, slot_max, pair_mx = step(
+            s, t, w, nv, slot_max, pair_mx, short = step(
                 model, scene, scene.class_prob, bits, gkey
             )
         pool_s.append(s)
@@ -567,6 +591,7 @@ def run_sweep_sharded(
         chunk_valid.append(nv)
         chunk_slot_valid.append(slot_max)
         pair_maxes.append(pair_mx)
+        shortfalls.append(short)
         done_this_call = ci + 1 - start_chunk
         if (stop_after_chunks is not None
                 and done_this_call >= stop_after_chunks
@@ -586,7 +611,13 @@ def run_sweep_sharded(
         slvs=jnp.stack(
             [jnp.asarray(v, jnp.int32) for v in chunk_slot_valid]
         ),
-        pmx=(jnp.stack(pair_maxes).max() if pair_maxes else None),
+        pmx=(
+            jnp.maximum(
+                jnp.stack(pair_maxes).max(), jnp.int32(resumed_pair_max)
+            ) if pair_maxes
+            else (jnp.int32(resumed_pair_max) or None)
+        ),
+        short=(jnp.stack(shortfalls).sum() if shortfalls else None),
     ))
     n_unconverged = resumed_unconverged + (
         int(th["unconv"]) if th["unconv"] is not None else 0
@@ -618,6 +649,15 @@ def run_sweep_sharded(
             f"max_pairs_per_bin={cfg.max_pairs_per_bin} were matched — "
             f"raise the cap for full recall",
             pair_max=int(th["pmx"]), cap=cfg.max_pairs_per_bin,
+        )
+    if th["short"] is not None and int(th["short"]):
+        warn(
+            f"{int(th['short'])} saturated bases kept fewer than "
+            f"maximum_congruent_sets={cfg.maximum_congruent_sets} sets "
+            f"after the exact-cone re-check — raise "
+            f"congruent_cone_oversample for full selection",
+            n_short=int(th["short"]),
+            oversample=cfg.congruent_cone_oversample,
         )
     if completed and checkpoint_path and os.path.exists(checkpoint_path):
         os.remove(checkpoint_path)

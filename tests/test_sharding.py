@@ -338,3 +338,20 @@ def test_sharded_bases_divisibility_error(setup):
     with pytest.raises(ValueError, match="not divisible"):
         matching_step_sharded(make_mesh(), model, scene, bad,
                               jax.random.PRNGKey(0))
+
+
+def test_step_sharded_refuses_edge_scene(setup, edge_setup):
+    """matching_step_sharded cannot honor instance semantics (the
+    sequential sampler cannot live in the shard body): an edge-mapped
+    scene is refused unless the caller explicitly opts into class
+    sampling (ADVICE r4: the round-4 warn-and-proceed default handed
+    library callers reference-divergent semantics silently)."""
+    model, escene, cfg = edge_setup
+    with pytest.raises(ValueError, match="allow_class_sampling"):
+        matching_step_sharded(make_mesh(), model, escene, cfg,
+                              jax.random.PRNGKey(0))
+    best, pose, n_valid = matching_step_sharded(
+        make_mesh(), model, escene, cfg, jax.random.PRNGKey(0),
+        allow_class_sampling=True,
+    )
+    assert np.asarray(pose).shape == (4, 4)
