@@ -29,6 +29,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
             "jax_compilation_cache_dir",
             path or os.environ.get("MM_TPU_CACHE", DEFAULT_DIR),
         )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 0: cache EVERY program. A one-shot CLI invocation executes
+        # ~112 tiny eager ops (take_along_axis, where, ... outside any
+        # jit) whose compiles each fall under the previous 1.0 s
+        # threshold and therefore recompiled THROUGH THE TUNNEL in
+        # every process — measured ~30 s of the stocs-single wall
+        # (docs/RESULTS.md round 5, JAX_LOG_COMPILES diagnostic).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # never block startup over a cache
